@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship main-content extraction on sf0.001.
+``queries()`` exposes each implemented operator (SURVEY.md §2) as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
+equivalent over the same parquet tables.  Pages are synthesized
+deterministically from the ``documents`` table (fixtures/gen_pages.py), so
+every extraction query has a closed-form SQL oracle.
+
+All numeric outputs are integers (scores in centi-units, money in yen,
+prices in cents) so value hashes match bit-exactly across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +16,561 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from image_ocr_spark.operators.generate import generate_pages
+
+    return generate_pages(_docs(spark, sf_dir))
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from image_ocr_spark.plans.pipeline import extract_pages
+
+    return extract_pages(_pages(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize pages from sf0.001 documents, extract main text."""
+    return _extracted(spark, "/root/testdata/sf0.001").select(
+        "url", "doc_id", "engine", "text", "title", "doc_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _extracted(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        "title",
+        "doc_type",
+        "receipt_score_centi",
+        "invoice_score_centi",
+    )
+
+
+def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _extracted(spark, sf_dir).select("doc_id", "doc_type")
+
+
+def q_receipt_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from image_ocr_spark.functions.extract_fields import extract_receipt_fields_df
+
+    receipts = _extracted(spark, sf_dir).filter(F.col("doc_type") == "receipt")
+    out = extract_receipt_fields_df(receipts, keys=("doc_id",))
+    return out.select(
+        "doc_id",
+        "date",
+        "total_amount",
+        "subtotal",
+        "store_name",
+        "store_phone",
+        "payment_method",
+    )
+
+
+def q_receipt_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from image_ocr_spark.functions.extract_fields import extract_receipt_fields_df
+
+    receipts = _extracted(spark, sf_dir).filter(F.col("doc_type") == "receipt")
+    out = extract_receipt_fields_df(receipts, keys=("doc_id",))
+    item = F.posexplode("items").alias("item_seq", "item")
+    return out.select("doc_id", item).select(
+        "doc_id",
+        "item_seq",
+        F.col("item.name").alias("name"),
+        F.col("item.price").alias("price"),
+        F.col("item.quantity").alias("quantity"),
+        F.col("item.reduced_tax").alias("reduced_tax"),
+    )
+
+
+def q_invoice_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from image_ocr_spark.functions.extract_fields import extract_invoice_fields_df
+
+    invoices = _extracted(spark, sf_dir).filter(F.col("doc_type") == "invoice")
+    out = extract_invoice_fields_df(invoices, keys=("doc_id",))
+    return out.select(
+        "doc_id",
+        "invoice_number",
+        "invoice_date",
+        "due_date",
+        "total_amount",
+        "subtotal",
+        "tax_amount",
+        "bank_name",
+        "branch_name",
+        "account_type",
+        "account_number",
+    )
+
+
+def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5/F6: era + western + fullwidth date normalization (inputs
+    constructed deterministically from doc_id in BOTH engines)."""
+    from image_ocr_spark.functions.normalize import normalize_date
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (1 + F.col("doc_id") % 30).alias("era_y"),
+        (1 + F.col("doc_id") % 12).alias("m"),
+        (1 + F.col("doc_id") % 28).alias("d"),
+    )
+    raw = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.format_string("令和%d年%d月%d日", "era_y", "m", "d"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.format_string("%d/%d/%d", F.col("doc_id") % 150 + 1950, "m", "d"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.format_string("H%d.%d.%d", "era_y", "m", "d"),
+        )
+        .otherwise(
+            F.translate(
+                F.format_string("２０２４年%d月%d日", "m", "d"),
+                "0123456789",
+                "０１２３４５６７８９",
+            )
+        )
+    )
+    return d.select("doc_id", raw.alias("raw"), normalize_date(raw).alias("iso"))
+
+
+def q_amount_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9: amount parse incl. OCR-confusion fix (O->0, S->5...)."""
+    from image_ocr_spark.functions.normalize import normalize_amount_ocr
+
+    n = F.col("n")
+    # explicit comma grouping (locale-proof), n < 100000 => at most one comma
+    grouped = F.when(
+        n >= 1000, F.format_string("%d,%03d", (n / 1000).cast("long"), n % 1000)
+    ).otherwise(F.format_string("%d", n))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") * 37 % 100000).alias("n")
+    )
+    raw = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("¥"), grouped, F.lit("円")))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.translate(F.concat(grouped, F.lit("-")), "051", "OSl"),
+        )
+        .otherwise(
+            F.translate(grouped, "0123456789", "０１２３４５６７８９")
+        )
+    )
+    return d.select("doc_id", normalize_amount_ocr(raw).alias("amount"))
+
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 canonicalization over noised document text."""
+    from image_ocr_spark.functions.normalize import clean_text
+
+    noised = F.concat(
+        F.lit(" \t "),
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), " ", "   "),
+        F.lit("\n\n\n\n tail \t"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", clean_text(noised).alias("cleaned")
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-stat: whitespace token count + char length per document."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(t, " ")).alias("n_tokens"),
+        F.length(t).alias("n_chars_actual"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash -> group, count, representative id."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5(t).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("representative_id"),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational agg plumbing (A1-style rollup): TPC-H Q1 shape, integer
+    cents so hashes match bit-exactly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_price_cents"
+            ),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.round((1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("sum_disc_price_e4"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dictionary-join plumbing (J4/J6 analog)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "acctbal_cents"
+            ),
+        )
+    )
+
+
+def q_events_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 running-state window: per-user running max of value (cents)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.max(cents).over(w).alias("running_max_cents"),
+    )
+
+
+def q_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 top-k: 10 most expensive lineitems, deterministic tiebreak."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            cents.alias("price_cents"),
+        )
+        .orderBy(
+            F.desc("price_cents"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_extract": q_flagship,
+        "classify_pages": q_classify,
+        "receipt_fields": q_receipt_fields,
+        "receipt_items": q_receipt_items,
+        "invoice_fields": q_invoice_fields,
+        "date_normalize": q_date_normalize,
+        "amount_normalize": q_amount_normalize,
+        "text_clean": q_text_clean,
+        "token_count": q_token_count,
+        "dedup_exact": q_dedup_exact,
+        "pricing_summary": q_pricing_summary,
+        "region_customers": q_region_customers,
+        "events_running_max": q_events_running_max,
+        "top_lineitems": q_top_lineitems,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — closed-form expectations
+# ---------------------------------------------------------------------------
+
+# shared CTE: canonical text + page-kind arithmetic mirrored from
+# fixtures/gen_pages.py (single-line doc text => clean == collapse+trim)
+_PAGE_CTE_TEMPLATE = """
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '[ \t]+', ' ', 'g')) AS ct,
+         doc_id % 10 AS k
+  FROM documents
+), rv AS (
+  SELECT doc_id,
+         200 + (doc_id % 10) * 10 AS a,
+         150 + (doc_id % 10) * 10 AS b,
+         100 + ((doc_id // 10) % 10) * 10 AS c,
+         1 + doc_id % 12 AS m,
+         1 + doc_id % 28 AS d,
+         1000 + doc_id % 9000 AS tel1,
+         1000 + (doc_id * 7) % 9000 AS tel2,
+         doc_id % 100 AS store_no
+  FROM documents
+), iv AS (
+  SELECT doc_id,
+         1 + doc_id % 9 AS qty,
+         1000 + (doc_id % 50) * 100 AS unit,
+         (1 + doc_id % 9) * (1000 + (doc_id % 50) * 100) AS sub,
+         1 + doc_id % 12 AS m,
+         1 + doc_id % 28 AS d,
+         1 + (doc_id + 1) % 12 AS due_m,
+         1 + (doc_id + 3) % 28 AS due_d,
+         1000000 + doc_id % 9000000 AS acct
+  FROM documents
+), pages AS (
+  SELECT base.doc_id, base.k,
+    CASE
+      WHEN base.k <= 4 OR base.k = 8
+           OR (base.k = 9 AND base.doc_id % 30 NOT IN (9, 19)) THEN
+        CASE WHEN base.ct = '' THEN printf('Article %d', base.doc_id)
+             ELSE printf('Article %d', base.doc_id) || chr(10) || base.ct END
+      WHEN base.k = 6 THEN
+        '領収書' || chr(10) ||
+        printf('スーパーABC%d号店', rv.store_no) || chr(10) ||
+        printf('TEL: 03-%04d-%04d (代)', rv.tel1, rv.tel2) || chr(10) ||
+        printf('2024年%d月%d日', rv.m, rv.d) || chr(10) ||
+        printf('りんご ×2 ¥%d', rv.a) || chr(10) ||
+        printf('※牛乳 ¥%d', rv.b) || chr(10) ||
+        printf('パン ¥%d', rv.c) || chr(10) ||
+        printf('小計 ¥%d', rv.a + rv.b + rv.c) || chr(10) ||
+        printf('合計 ¥%d', rv.a + rv.b + rv.c) || chr(10) ||
+        printf('お預り ¥%d', ((rv.a + rv.b + rv.c + 99) // 100) * 100) || chr(10) ||
+        '現金'
+      WHEN base.k = 7 THEN
+        '請求書' || chr(10) ||
+        printf('請求書番号: INV-2024-%06d', iv.doc_id) || chr(10) ||
+        '株式会社テスト商事' || chr(10) ||
+        'サンプル株式会社 御中' || chr(10) ||
+        printf('請求日: 2024年%d月%d日', iv.m, iv.d) || chr(10) ||
+        printf('支払期限: 2024年%d月%d日', iv.due_m, iv.due_d) || chr(10) ||
+        '品目 数量 単価 金額' || chr(10) ||
+        printf('ウィジェット %d ¥%s ¥%s', iv.qty, {FMT_UNIT}, {FMT_SUB}) || chr(10) ||
+        printf('小計 ¥%s', {FMT_SUB}) || chr(10) ||
+        printf('消費税 ¥%s', {FMT_TAX}) || chr(10) ||
+        printf('御請求金額 ¥%s', {FMT_TOTAL}) || chr(10) ||
+        printf('振込先: 三菱UFJ銀行 新宿支店 普通 %d', iv.acct)
+      ELSE ''
+    END AS text,
+    CASE
+      WHEN base.k <= 4 OR (base.k = 9 AND base.doc_id % 30 = 29)
+        THEN printf('Article %d - Example Site', base.doc_id)
+      WHEN base.k = 5 THEN printf('Links %d', base.doc_id)
+      WHEN base.k = 6 THEN '領収書'
+      WHEN base.k = 7 THEN '請求書'
+      WHEN base.k = 9 AND base.doc_id % 30 = 9 THEN 'empty'
+      ELSE NULL
+    END AS title,
+    CASE WHEN base.k = 6 THEN 'receipt'
+         WHEN base.k = 7 THEN 'invoice'
+         ELSE 'unknown' END AS doc_type
+  FROM base JOIN rv USING (doc_id) JOIN iv USING (doc_id)
+)
+"""
+
+def _fmt(expr: str) -> str:
+    """Inline thousands-separator formatting (mirrors gen_pages._comma);
+    inlined rather than a macro so the oracle stays a single statement."""
+    return (
+        f"CASE WHEN ({expr}) >= 1000 THEN "
+        f"printf('%d,%03d', ({expr}) // 1000, ({expr}) % 1000) "
+        f"ELSE printf('%d', ({expr})) END"
+    )
+
+
+_PAGE_CTE = (
+    _PAGE_CTE_TEMPLATE.replace("{FMT_UNIT}", _fmt("iv.unit"))
+    .replace("{FMT_SUB}", _fmt("iv.sub"))
+    .replace("{FMT_TAX}", _fmt("iv.sub // 10"))
+    .replace("{FMT_TOTAL}", _fmt("iv.sub + iv.sub // 10"))
+)
+
+def _fmt(expr: str) -> str:
+    """Inline thousands-separator formatting (mirrors gen_pages._comma);
+    inlined rather than a macro so the oracle stays a single statement."""
+    return (
+        f"CASE WHEN ({expr}) >= 1000 THEN "
+        f"printf('%d,%03d', ({expr}) // 1000, ({expr}) % 1000) "
+        f"ELSE printf('%d', ({expr})) END"
+    )
+
+# classifier score constants for the synthetic receipt/invoice bodies —
+# computed once from pycore on the fixed keyword sets (values verified in
+# tests/test_entry_contract.py against live classification)
+_RECEIPT_SCORES = (980, 0)
+_INVOICE_SCORES = (0, 2295)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    r_r, r_i = _RECEIPT_SCORES
+    i_r, i_i = _INVOICE_SCORES
+    return {
+        "flagship_extract": _PAGE_CTE + f"""
+            SELECT doc_id, text, title, doc_type,
+              CASE doc_type WHEN 'receipt' THEN {r_r} WHEN 'invoice' THEN {i_r}
+                   ELSE 0 END::BIGINT AS receipt_score_centi,
+              CASE doc_type WHEN 'receipt' THEN {r_i} WHEN 'invoice' THEN {i_i}
+                   ELSE 0 END::BIGINT AS invoice_score_centi
+            FROM pages
+        """,
+        "classify_pages": """
+            SELECT doc_id,
+                   CASE doc_id % 10 WHEN 6 THEN 'receipt' WHEN 7 THEN 'invoice'
+                        ELSE 'unknown' END AS doc_type
+            FROM documents
+        """,
+        "receipt_fields": """
+            SELECT doc_id,
+              printf('2024-%02d-%02d', 1 + doc_id % 12, 1 + doc_id % 28) AS date,
+              (450 + (doc_id % 10) * 20 + ((doc_id // 10) % 10) * 10)::BIGINT AS total_amount,
+              (450 + (doc_id % 10) * 20 + ((doc_id // 10) % 10) * 10)::BIGINT AS subtotal,
+              printf('スーパーABC%d号店', doc_id % 100) AS store_name,
+              printf('03-%04d-%04d', 1000 + doc_id % 9000, 1000 + (doc_id * 7) % 9000)
+                AS store_phone,
+              '現金' AS payment_method
+            FROM documents WHERE doc_id % 10 = 6
+        """,
+        "receipt_items": """
+            SELECT doc_id, s.item_seq,
+              CASE s.item_seq WHEN 0 THEN 'りんご' WHEN 1 THEN '牛乳' ELSE 'パン' END AS name,
+              (CASE s.item_seq
+                 WHEN 0 THEN 200 + (doc_id % 10) * 10
+                 WHEN 1 THEN 150 + (doc_id % 10) * 10
+                 ELSE 100 + ((doc_id // 10) % 10) * 10 END)::BIGINT AS price,
+              CASE s.item_seq WHEN 0 THEN 2 ELSE 1 END AS quantity,
+              s.item_seq = 1 AS reduced_tax
+            FROM documents, (SELECT unnest([0, 1, 2]) AS item_seq) s
+            WHERE doc_id % 10 = 6
+        """,
+        "invoice_fields": """
+            WITH iv AS (
+              SELECT doc_id,
+                     1 + doc_id % 9 AS qty,
+                     (1 + doc_id % 9) * (1000 + (doc_id % 50) * 100) AS sub
+              FROM documents WHERE doc_id % 10 = 7
+            )
+            SELECT doc_id,
+              printf('INV-2024-%06d', doc_id) AS invoice_number,
+              printf('2024-%02d-%02d', 1 + doc_id % 12, 1 + doc_id % 28) AS invoice_date,
+              printf('2024-%02d-%02d', 1 + (doc_id + 1) % 12, 1 + (doc_id + 3) % 28) AS due_date,
+              (sub + sub // 10)::BIGINT AS total_amount,
+              sub::BIGINT AS subtotal,
+              (sub // 10)::BIGINT AS tax_amount,
+              '三菱UFJ銀行' AS bank_name,
+              '新宿支店' AS branch_name,
+              '普通' AS account_type,
+              printf('%d', 1000000 + doc_id % 9000000) AS account_number
+            FROM iv
+        """,
+        "date_normalize": """
+            WITH p AS (
+              SELECT doc_id,
+                     1 + doc_id % 30 AS era_y, 1 + doc_id % 12 AS m,
+                     1 + doc_id % 28 AS d, doc_id % 150 + 1950 AS wy
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE doc_id % 4
+                WHEN 0 THEN printf('令和%d年%d月%d日', era_y, m, d)
+                WHEN 1 THEN printf('%d/%d/%d', wy, m, d)
+                WHEN 2 THEN printf('H%d.%d.%d', era_y, m, d)
+                ELSE translate(printf('２０２４年%d月%d日', m, d),
+                               '0123456789', '０１２３４５６７８９')
+              END AS raw,
+              CASE doc_id % 4
+                WHEN 0 THEN printf('%04d-%02d-%02d', 2018 + era_y, m, d)
+                WHEN 1 THEN printf('%04d-%02d-%02d', wy, m, d)
+                WHEN 2 THEN printf('%04d-%02d-%02d', 1988 + era_y, m, d)
+                ELSE printf('2024-%02d-%02d', m, d)
+              END AS iso
+            FROM p
+        """,
+        "amount_normalize": """
+            SELECT doc_id, (doc_id * 37 % 100000)::BIGINT AS amount
+            FROM documents
+        """,
+        "text_clean": """
+            WITH c AS (
+              SELECT doc_id,
+                     trim(regexp_replace(coalesce(text, ''), '[ \t]+', ' ', 'g')) AS ct
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN ct = '' THEN 'tail'
+                        ELSE ct || chr(10) || chr(10) || 'tail' END AS cleaned
+            FROM c
+        """,
+        "token_count": """
+            SELECT doc_id,
+              len(string_split(coalesce(text, ''), ' ')) AS n_tokens,
+              length(coalesce(text, '')) AS n_chars_actual
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(coalesce(text, '')) AS content_hash,
+                   count(*) AS dup_count,
+                   min(doc_id) AS representative_id
+            FROM documents GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_e4,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "region_customers": """
+            SELECT r.r_name AS region_name, count(*) AS n_customers,
+                   sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "events_running_max": """
+            SELECT event_id, user_id,
+                   max(CAST(round(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running_max_cents
+            FROM events
+        """,
+        "top_lineitems": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+            FROM lineitem
+            ORDER BY price_cents DESC, l_orderkey ASC, l_linenumber ASC
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""bench.py — flagship extraction throughput + scaling efficiency.
+
+Measures docs/sec and MB/s of raw HTML bytes for the end-to-end extraction
+pipeline (tokenize -> content selection -> rollup -> classify) over a
+deterministic page corpus synthesized from $SPARK_GRAFT_SF_DIR/documents
+(default /root/testdata/sf0.1), replicated REPLICAS x for volume.
+
+Scaling methodology (north rule: N vs 4N cluster sizes, >=0.8 efficiency):
+each parallelism level runs in its own JVM pinned with `taskset -c` to
+EXACTLY that many host CPUs, so the JVM task threads AND the Python UDF
+workers share the same N cores — exactly like an N-core executor under
+cgroup limits.  (Without pinning, Python workers run beside the N task
+threads and a "4-core" run really consumes ~8 cores, corrupting the ratio.)
+The sandbox shares its host with other tenants (loadavg 10-20 external), so
+levels are interleaved lo/hi within a time budget and the best pass per
+level is reported.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...,
+   "docs_per_sec": ..., "mb_per_sec": ..., "scaling_efficiency": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+LO = int(os.environ.get("SPARK_GRAFT_BENCH_LO", "4"))
+HI = int(os.environ.get("SPARK_GRAFT_BENCH_HI", "16"))
+REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "100"))
+BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "360"))
+CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+
+
+def _sf_tag() -> str:
+    return SF_DIR.rstrip("/").split("/")[-1]
+
+
+def pages_path() -> str:
+    return os.path.join(CACHE_ROOT, f"pages_{_sf_tag()}_x{REPLICAS}")
+
+
+def prepare_pages() -> dict:
+    """Synthesize + persist the page corpus once (outside timed runs),
+    mirroring the real deployment where pages already sit in a table."""
+    path = pages_path()
+    meta_path = path + ".meta.json"
+    if not os.path.exists(meta_path):
+        from image_ocr_spark.operators.generate import generate_pages
+        from image_ocr_spark.session import get_spark
+        from pyspark.sql import functions as F
+
+        spark = get_spark("local[*]", app_name="bench-prep", shuffle_partitions=32)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        pages = generate_pages(docs, replicas=REPLICAS)
+        # written partitioned like a crawl: salted by url hash
+        pages.repartition(64, F.xxhash64("url")).write.mode("overwrite").parquet(path)
+        stats = (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(F.octet_length("html")).alias("bytes"),
+            )
+            .first()
+        )
+        spark.stop()
+        with open(meta_path, "w") as fh:
+            json.dump({"docs": stats["docs"], "bytes": int(stats["bytes"])}, fh)
+    with open(meta_path) as fh:
+        return json.load(fh)
+
+
+def worker(threads: int, path: str, passes: int) -> None:
+    """Pinned-JVM timed run: warm-up pass, then `passes` timed passes."""
+    from image_ocr_spark.plans.pipeline import extract_pages
+    from image_ocr_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(
+        f"local[{threads}]",
+        app_name=f"bench-{threads}",
+        shuffle_partitions=threads,
+        extra_conf={"spark.driver.memory": "12g",
+                    "spark.driver.extraJavaOptions": "-Xms12g -XX:+UseG1GC"},
+    )
+    pages = spark.read.parquet(path)
+
+    def one_pass() -> float:
+        # fresh DataFrame per pass: re-collecting one plan would silently
+        # reuse its shuffle outputs and skip the heavy stages.  Catalyst
+        # planning (~1-2s) is therefore included — honest, since a real job
+        # pays it once per run.
+        t0 = time.time()
+        extract_pages(pages, num_partitions=threads * 2).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.length("text")).alias("chars"),
+        ).collect()
+        return time.time() - t0
+
+    one_pass()  # warm: JIT + codegen + python workers + page cache
+    times = [one_pass() for _ in range(passes)]
+    spark.stop()
+    print(json.dumps({"times": times}))
+
+
+def run_pinned(threads: int, path: str, passes: int) -> list:
+    cmd = [
+        "taskset", "-c", f"0-{threads - 1}",
+        sys.executable, os.path.abspath(__file__),
+        "--worker", str(threads), path, str(passes),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])["times"]
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        return
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    meta = prepare_pages()
+    path = pages_path()
+    best = {LO: float("inf"), HI: float("inf")}
+    deadline = time.time() + BUDGET_S
+    rounds = 0
+    while rounds == 0 or (time.time() < deadline and rounds < 3):
+        for level in (LO, HI):
+            for t in run_pinned(level, path, passes=2):
+                best[level] = min(best[level], t)
+        rounds += 1
+
+    docs, mbytes = meta["docs"], meta["bytes"] / 1e6
+    dps_lo, dps_hi = docs / best[LO], docs / best[HI]
+    eff = (dps_hi / dps_lo) / (HI / LO)
+    result = {
+        "metric": f"flagship_extract_{_sf_tag()}_pinned{HI}cpu_wall",
+        "value": round(best[HI], 3),
+        "unit": "sec",
+        "queries": {
+            f"flagship_{LO}cpu": round(best[LO], 3),
+            f"flagship_{HI}cpu": round(best[HI], 3),
+        },
+        "sf": _sf_tag(),
+        "docs": docs,
+        "html_mb": round(mbytes, 1),
+        "docs_per_sec_lo": round(dps_lo, 1),
+        "docs_per_sec": round(dps_hi, 1),
+        "mb_per_sec_lo": round(mbytes / best[LO], 2),
+        "mb_per_sec": round(mbytes / best[HI], 2),
+        "scaling_pair": [LO, HI],
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""Spark-side deterministic page synthesis: documents table -> pages table.
+
+Wraps fixtures.gen_pages.build_page in an Arrow-batched mapInPandas (the
+fixture analog of the reference's TestImageGenerator, gui.py:48-1016).
+Optionally replicates each document REPLICAS times (distinct urls) to scale
+the corpus for benchmarking — replica_id is part of the url and of doc_id'
+(doc_id * replicas + r) so every page stays a pure function of its ids.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..fixtures.gen_pages import build_page
+from ..schemas import GEN_PAGE_SCHEMA
+
+
+def _gen(replicas: int):
+    def gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in GEN_PAGE_SCHEMA.fields]
+        for b in batches:
+            out = {c: [] for c in cols}
+            for row in b.itertuples(index=False):
+                for r in range(replicas):
+                    doc_id = int(row.doc_id) * replicas + r
+                    page = build_page(doc_id, row.text, row.lang)
+                    out["doc_id"].append(doc_id)
+                    out["url"].append(page["url"])
+                    out["warc_ts"].append(page["warc_ts"])
+                    out["html"].append(page["html"])
+                    out["lang"].append(page["lang"])
+                    out["kind"].append(page["kind"])
+            yield pd.DataFrame(out, columns=cols)
+
+    return gen_batches
+
+
+def generate_pages(documents: DataFrame, replicas: int = 1) -> DataFrame:
+    """documents(doc_id, text, lang, ...) -> pages (GEN_PAGE_SCHEMA + ts cast).
+
+    At 100 TB the real input is an Iceberg/parquet pages table; this operator
+    exists so tests and benches can synthesize that table deterministically
+    from the driver's documents fixture (TESTDATA.md).
+    """
+    pages = documents.select("doc_id", "text", "lang").mapInPandas(
+        _gen(replicas), GEN_PAGE_SCHEMA
+    )
+    return pages.withColumn("warc_ts", F.timestamp_seconds("warc_ts"))

@@ -1,0 +1,124 @@
+"""Tokenizer operator: pages DataFrame -> nodes DataFrame via mapInArrow.
+
+The engine's single JVM->Python boundary (SURVEY.md §2.10 X1 — the graft of
+BaseOCREngine.recognize, `engines/base.py:178-204`).  The format branch
+(html vs pdf) is the X2 strategy split (`engines/__init__.py:53-109`):
+decided per row on magic bytes inside the same UDF, so both branches share
+one pass over the data.
+
+Scale notes:
+- `mapInArrow` (not mapInPandas): output node rows are built as pyarrow
+  arrays straight from Python lists — measured ~3-4x cheaper per node than
+  pandas DataFrame construction, and the node stream is ~16x the page count,
+  so this boundary dominates the job.
+- Arrow batch size is bounded by spark.sql.execution.arrow.maxRecordsPerBatch
+  (session.py) so a batch of fat pages stays in worker memory.
+- Compiled regex state lives at module import (once per Python worker) —
+  the graft of the reference's lazy engine init (pipeline.py:131-137).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from ..pycore.htmltok import tokenize_html
+from ..pycore.pdftok import is_pdf, tokenize_pdf
+from ..schemas import NODE_SCHEMA
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("doc_id", pa.int64()),
+        pa.field("engine", pa.string()),
+        pa.field("node_id", pa.int32()),
+        pa.field("tag_class", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("n_chars", pa.int32()),
+        pa.field("n_link_chars", pa.int32()),
+        pa.field("n_words", pa.int32()),
+    ]
+)
+
+_SENTINEL = {
+    "node_id": -1,
+    "tag_class": "empty",
+    "text": "",
+    "n_chars": 0,
+    "n_link_chars": 0,
+    "n_words": 0,
+}
+
+
+def _tokenize_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        names = batch.schema.names
+        urls = batch.column(names.index("url")).to_pylist()
+        htmls = batch.column(names.index("html")).to_pylist()
+        if "doc_id" in names:
+            doc_ids = batch.column(names.index("doc_id")).to_pylist()
+        else:
+            doc_ids = [None] * len(urls)
+
+        c_url: list = []
+        c_doc: list = []
+        c_eng: list = []
+        c_nid: list = []
+        c_tag: list = []
+        c_txt: list = []
+        c_nch: list = []
+        c_nlk: list = []
+        c_nwd: list = []
+        for url, doc_id, raw in zip(urls, doc_ids, htmls):
+            if raw is None:
+                nodes, engine = [_SENTINEL], "html"
+            else:
+                try:
+                    if is_pdf(raw):
+                        engine, nodes = "pdf", tokenize_pdf(raw)
+                    else:
+                        engine, nodes = "html", tokenize_html(raw)
+                except Exception:
+                    # never-raise policy (ref pipeline.py:251-271)
+                    engine, nodes = "error", []
+                if not nodes:
+                    # sentinel: empty/broken pages still yield a result row
+                    # downstream without a reconciliation join
+                    nodes = [_SENTINEL]
+            n = len(nodes)
+            c_url.extend([url] * n)
+            c_doc.extend([doc_id] * n)
+            c_eng.extend([engine] * n)
+            for node in nodes:
+                c_nid.append(node["node_id"])
+                c_tag.append(node["tag_class"])
+                c_txt.append(node["text"])
+                c_nch.append(node["n_chars"])
+                c_nlk.append(node["n_link_chars"])
+                c_nwd.append(node["n_words"])
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(c_url, pa.string()),
+                pa.array(c_doc, pa.int64()),
+                pa.array(c_eng, pa.string()),
+                pa.array(c_nid, pa.int32()),
+                pa.array(c_tag, pa.string()),
+                pa.array(c_txt, pa.string()),
+                pa.array(c_nch, pa.int32()),
+                pa.array(c_nlk, pa.int32()),
+                pa.array(c_nwd, pa.int32()),
+            ],
+            schema=_ARROW_SCHEMA,
+        )
+
+
+def tokenize(pages: DataFrame) -> DataFrame:
+    """pages(url, html[, doc_id], ...) -> nodes (NODE_SCHEMA).
+
+    Column-prunes the input to exactly what the tokenizer needs BEFORE the
+    Arrow boundary so no unused columns cross into Python.
+    """
+    cols = ["url", "html"] + (["doc_id"] if "doc_id" in pages.columns else [])
+    return pages.select(*cols).mapInArrow(_tokenize_arrow, NODE_SCHEMA)

@@ -1,0 +1,199 @@
+"""From-scratch HTML tokenizer: raw page bytes -> DOM-ish node stream.
+
+This is the graft's analog of the reference's pluggable OCR engine
+(`engines/base.py:178-204` BaseOCREngine.recognize -> OCRResult): a black
+box that turns one document's bytes into a stream of positioned text nodes
+with confidence-like statistics.  Nodes here are *block-level text runs*
+with the integer statistics the Boilerpipe-style classifier needs
+(char count, link-char count, word count, tag class).
+
+Design constraints:
+- Pure Python, stdlib only (no bs4/lxml in the sandbox; the north rule wants
+  a from-scratch tokenizer anyway).
+- Deterministic and total: malformed/unclosed/hostile markup never raises;
+  worst case the text lands in some node.
+- All statistics are integers so the content-selection rule can be expressed
+  identically in Spark SQL, DuckDB SQL, and Python with exact equality.
+
+Node dict fields (see operators/tokenize.py for the Spark schema):
+  node_id      int   0-based emission order == document order
+  tag_class    str   block context: p/h1../li/td/div/title/pre/... or the
+                     nearest boilerplate ancestor (nav/header/footer/aside/form)
+  text         str   whitespace-collapsed, entity-unescaped text
+  n_chars      int   len(text)
+  n_link_chars int   chars contributed from inside <a> elements
+  n_words      int   whitespace-token count
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from typing import Dict, List, Optional
+
+# Tags that open/close a text block (flush the buffer on open AND close).
+BLOCK_TAGS = frozenset(
+    """p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd br hr table thead tbody tr td
+    th caption section article main nav header footer aside form blockquote
+    pre title body head html figure figcaption address fieldset legend
+    select option button textarea menu summary details""".split()
+)
+
+# Block contexts that mark everything inside as boilerplate.
+BOILER_TAGS = frozenset("nav header footer aside form menu select".split())
+
+# Element content dropped entirely.
+DROP_TAGS = frozenset("script style noscript template svg iframe object".split())
+
+# Structural tags that should NOT become a node's tag_class (too generic);
+# when one of these opens a block we keep the enclosing class instead.
+_NEUTRAL = frozenset("body html head tbody thead".split())
+
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>'\"]|\"[^\"]*\"|'[^']*')*?)(/?)>")
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_DECL_RE = re.compile(r"<![^>]*>")
+_WS_RE = re.compile(r"\s+")
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I)
+
+MAX_HTML_BYTES = 2 * 1024 * 1024  # resolution clamp analog (ref preprocessor.py:291-317)
+
+
+def sniff_charset(raw: bytes) -> str:
+    """Charset policy: BOM, then meta charset within the first 2048 bytes,
+    else utf-8.  Only charsets we can decode deterministically are honored."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    m = _CHARSET_RE.search(raw[:2048])
+    if m:
+        cs = m.group(1).decode("ascii", "replace").lower()
+        if cs in ("shift_jis", "shift-jis", "sjis", "x-sjis", "cp932", "windows-31j"):
+            return "cp932"
+        if cs in ("euc-jp", "eucjp"):
+            return "euc-jp"
+        if cs in ("iso-8859-1", "latin-1", "latin1", "windows-1252", "cp1252"):
+            return "cp1252"
+    return "utf-8"
+
+
+def decode_html(raw: bytes) -> str:
+    """bytes -> str under the explicit charset policy; never raises."""
+    if len(raw) > MAX_HTML_BYTES:
+        raw = raw[:MAX_HTML_BYTES]
+    return raw.decode(sniff_charset(raw), errors="replace")
+
+
+def _collapse(text: str) -> str:
+    return _WS_RE.sub(" ", text).strip()
+
+
+def tokenize_html(raw: bytes) -> List[Dict]:
+    """Raw page bytes -> ordered list of node dicts (see module docstring).
+
+    A linear regex scan over tag/text alternation with a lightweight context
+    stack; tolerant of unclosed and stray tags (pop-if-present semantics).
+    """
+    text = decode_html(raw)
+    text = _COMMENT_RE.sub(" ", text)
+    text = _DECL_RE.sub(" ", text)
+
+    nodes: List[Dict] = []
+    buf: List[str] = []          # text fragments of current block
+    buf_link: List[bool] = []    # parallel: fragment from inside <a>?
+    boiler_stack: List[str] = [] # open BOILER_TAGS ancestors
+    drop_depth = 0               # >0 while inside DROP_TAGS
+    a_depth = 0
+    block_class = "div"          # tag_class of the current block
+    in_title = False
+
+    def flush() -> None:
+        nonlocal buf, buf_link
+        if not buf:
+            return
+        parts, link_chars = [], 0
+        for frag, is_link in zip(buf, buf_link):
+            parts.append(frag)
+            if is_link:
+                link_chars += len(frag)
+        joined = _collapse("".join(parts))
+        buf, buf_link = [], []
+        if not joined:
+            return
+        raw_len = sum(len(p) for p in parts)
+        # scale link chars to the collapsed length so the ratio is preserved
+        # under whitespace collapse (integer floor keeps everything exact)
+        n_chars = len(joined)
+        n_link = min(n_chars, (link_chars * n_chars) // raw_len) if raw_len else 0
+        tag = boiler_stack[-1] if boiler_stack else block_class
+        nodes.append(
+            {
+                "node_id": len(nodes),
+                "tag_class": tag,
+                "text": joined,
+                "n_chars": n_chars,
+                "n_link_chars": n_link,
+                "n_words": len(joined.split(" ")),
+            }
+        )
+
+    pos = 0
+    for m in _TAG_RE.finditer(text):
+        frag = text[pos : m.start()]
+        pos = m.end()
+        if frag and drop_depth == 0:
+            unescaped = _htmlmod.unescape(frag)
+            if unescaped:
+                buf.append(unescaped)
+                buf_link.append(a_depth > 0)
+        closing, name, _attrs, self_close = m.groups()
+        name = name.lower()
+        if name in DROP_TAGS:
+            if closing:
+                drop_depth = max(0, drop_depth - 1)
+            elif not self_close:
+                drop_depth += 1
+            continue
+        if name == "a":
+            if closing:
+                a_depth = max(0, a_depth - 1)
+            else:
+                a_depth += 1
+            continue
+        if name in BLOCK_TAGS:
+            flush()
+            if name == "title":
+                in_title = not closing
+            if name in BOILER_TAGS:
+                if closing:
+                    if name in boiler_stack:
+                        # pop to (and including) the matching open tag
+                        while boiler_stack and boiler_stack[-1] != name:
+                            boiler_stack.pop()
+                        if boiler_stack:
+                            boiler_stack.pop()
+                else:
+                    boiler_stack.append(name)
+            if not closing and name not in _NEUTRAL and name not in ("br", "hr"):
+                block_class = "title" if in_title else name
+            elif closing and name not in _NEUTRAL:
+                block_class = "div"
+    # trailing text after the last tag
+    frag = text[pos:]
+    if frag and drop_depth == 0:
+        unescaped = _htmlmod.unescape(frag)
+        if unescaped:
+            buf.append(unescaped)
+            buf_link.append(a_depth > 0)
+    flush()
+    return nodes
+
+
+def page_title(nodes: List[Dict]) -> Optional[str]:
+    """First <title> node text, else first <h1> (P6/W2 analog: store-name
+    'usually at the top', ref receipt.py:287-313)."""
+    for n in nodes:
+        if n["tag_class"] == "title":
+            return n["text"]
+    for n in nodes:
+        if n["tag_class"] == "h1":
+            return n["text"]
+    return None

@@ -1,0 +1,154 @@
+"""Minimal from-scratch PDF text extractor -> node stream.
+
+The graft analog of the reference's PP-Structure layout branch
+(`engines/paddle_structure_engine.py:118-329`): a second document format
+producing the same node schema as the HTML tokenizer, so the downstream
+pipeline is format-agnostic (SURVEY.md §2.10 X2 strategy split).
+
+Scope is bounded exactly like the reference bounds itself to what Tesseract
+can see: we parse only the PDFs our fixture generator emits — single xref,
+uncompressed content streams, text ops:
+
+  BT ... ET         text object
+  (string) Tj       show string
+  [(a) -120 (b)] TJ show array
+  Td / TD / T*      -> line break
+
+Escapes \\( \\) \\\\ \\n and octal \\ddd are handled.  Anything unparseable
+yields zero nodes (never raises) and the caller records a warning.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+_TEXTOBJ_RE = re.compile(rb"BT(.*?)ET", re.S)
+# one operator token at a time inside a text object
+_OP_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)\s*Tj"      # (..) Tj
+    rb"|\[(?:[^\]\\]|\\.)*?\]\s*TJ"    # [..] TJ
+    rb"|T\*|Td|TD",
+    re.S,
+)
+_STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)", re.S)
+
+_ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _unescape_pdf_string(body: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        c = body[i : i + 1]
+        if c == b"\\" and i + 1 < len(body):
+            nxt = body[i + 1 : i + 2]
+            if nxt in _ESC:
+                out += _ESC[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal \ddd (1-3 digits)
+                j = i + 1
+                oct_digits = b""
+                while j < len(body) and len(oct_digits) < 3 and body[j : j + 1].isdigit():
+                    oct_digits += body[j : j + 1]
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+                continue
+            i += 1  # line continuation / unknown escape: drop backslash
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def tokenize_pdf(raw: bytes) -> List[Dict]:
+    """PDF bytes -> node dicts with the same fields as tokenize_html.
+
+    Each text line (separated by Td/TD/T*) becomes one node with
+    tag_class='p'; link stats are always 0 (PDF has no anchors here).
+    """
+    nodes: List[Dict] = []
+    lines: List[bytes] = []
+    cur: List[bytes] = []
+
+    def endline() -> None:
+        nonlocal cur
+        if cur:
+            lines.append(b"".join(cur))
+            cur = []
+
+    for stream in _STREAM_RE.finditer(raw):
+        for textobj in _TEXTOBJ_RE.finditer(stream.group(1)):
+            for op in _OP_RE.finditer(textobj.group(0)):
+                tok = op.group(0)
+                if tok.endswith(b"Tj"):
+                    s = _STR_RE.search(tok)
+                    if s:
+                        cur.append(_unescape_pdf_string(s.group(0)[1:-1]))
+                elif tok.endswith(b"TJ"):
+                    for s in _STR_RE.finditer(tok):
+                        cur.append(_unescape_pdf_string(s.group(0)[1:-1]))
+                else:  # Td / TD / T* -> new line
+                    endline()
+            endline()
+
+    for raw_line in lines:
+        text = raw_line.decode("utf-8", errors="replace")
+        text = re.sub(r"\s+", " ", text).strip()
+        if not text:
+            continue
+        nodes.append(
+            {
+                "node_id": len(nodes),
+                "tag_class": "p",
+                "text": text,
+                "n_chars": len(text),
+                "n_link_chars": 0,
+                "n_words": len(text.split(" ")),
+            }
+        )
+    return nodes
+
+
+def is_pdf(raw: bytes) -> bool:
+    return raw[:5] == b"%PDF-"
+
+
+def make_pdf(lines: List[str]) -> bytes:
+    """Deterministic minimal single-page PDF with one uncompressed content
+    stream — the fixture generator's PDF writer (UTF-8 text in Tj strings;
+    parseable by tokenize_pdf; also a structurally valid PDF)."""
+    esc = lambda s: s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append("0 -14 Td")
+        ops.append(f"({esc(line)}) Tj")
+    ops.append("ET")
+    content = "\n".join(ops).encode("utf-8")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)

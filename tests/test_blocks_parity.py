@@ -1,0 +1,43 @@
+"""The two relational formulations of content selection (single-agg with
+higher-order exprs vs window lag/lead) must produce identical results —
+and both must equal the pure-Python rule."""
+
+from pyspark.sql import functions as F
+
+from image_ocr_spark.operators.blocks import extract_text, extract_text_window
+from image_ocr_spark.operators.generate import generate_pages
+from image_ocr_spark.operators.tokenize import tokenize
+from image_ocr_spark.plans.pipeline import salt_repartition
+
+
+def test_agg_and_window_formulations_agree(spark, documents):
+    nodes = tokenize(salt_repartition(generate_pages(documents), 8))
+    a = {
+        r.url: (r.text, r.title, r.n_nodes, r.n_content_nodes)
+        for r in extract_text(nodes).collect()
+    }
+    b = {
+        r.url: (r.text, r.title, r.n_nodes, r.n_content_nodes)
+        for r in extract_text_window(nodes).collect()
+    }
+    assert a == b
+
+
+def test_seed_rule_matches_pycore(spark, documents, doc_rows):
+    from image_ocr_spark.fixtures.gen_pages import build_page
+    from image_ocr_spark.operators.blocks import with_content_flag
+    from image_ocr_spark.pycore.blocks import select_content
+    from image_ocr_spark.pycore.extractor import extract_page
+    from image_ocr_spark.pycore.htmltok import tokenize_html
+    from image_ocr_spark.pycore.pdftok import is_pdf, tokenize_pdf
+
+    nodes = tokenize(generate_pages(documents))
+    flagged = with_content_flag(nodes).filter(F.col("is_content"))
+    got = {}
+    for r in flagged.select("doc_id", "node_id").collect():
+        got.setdefault(r.doc_id, set()).add(r.node_id)
+    for doc_id, text, lang in doc_rows:
+        raw = build_page(doc_id, text, lang)["html"]
+        ns = tokenize_pdf(raw) if is_pdf(raw) else tokenize_html(raw)
+        exp = set(select_content(ns))
+        assert got.get(doc_id, set()) == exp, doc_id

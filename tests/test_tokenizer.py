@@ -1,0 +1,127 @@
+"""HTML/PDF tokenizer unit tests (the engine's `recognize` analog)."""
+
+from image_ocr_spark.pycore.blocks import extract_main_text, select_content
+from image_ocr_spark.pycore.htmltok import (
+    decode_html,
+    page_title,
+    sniff_charset,
+    tokenize_html,
+)
+from image_ocr_spark.pycore.pdftok import is_pdf, make_pdf, tokenize_pdf
+
+
+def test_basic_blocks():
+    html = b"<html><body><p>Hello world one two three four five six</p><p>Second block here</p></body></html>"
+    nodes = tokenize_html(html)
+    assert [n["text"] for n in nodes] == [
+        "Hello world one two three four five six",
+        "Second block here",
+    ]
+    assert all(n["tag_class"] == "p" for n in nodes)
+    assert nodes[0]["n_words"] == 8
+    assert nodes[0]["n_link_chars"] == 0
+
+
+def test_boilerplate_context():
+    html = (
+        b"<body><header><h1>Site</h1><nav><a href='/'>Home</a></nav></header>"
+        b"<p>Real content sentence with enough words to be a seed block</p>"
+        b"<footer>Copyright</footer></body>"
+    )
+    nodes = tokenize_html(html)
+    classes = {n["text"]: n["tag_class"] for n in nodes}
+    assert classes["Site"] == "header"
+    assert classes["Home"] == "header" or classes["Home"] == "nav"
+    assert classes["Copyright"] == "footer"
+    kept = select_content(nodes)
+    texts = [n["text"] for n in nodes if n["node_id"] in kept]
+    assert texts == ["Real content sentence with enough words to be a seed block"]
+
+
+def test_link_density_veto():
+    html = (
+        b"<body><ul>"
+        + b"".join(
+            b"<li><a href='/x'>link text number %d goes here</a></li>" % i
+            for i in range(10)
+        )
+        + b"</ul></body>"
+    )
+    nodes = tokenize_html(html)
+    assert all(3 * n["n_link_chars"] >= n["n_chars"] for n in nodes)
+    assert extract_main_text(nodes) == ""
+
+
+def test_entities_and_script_drop():
+    html = (
+        b"<body><script>var x = '<p>not text</p>';</script>"
+        b"<style>p { color: red }</style>"
+        b"<p>A &amp; B &lt;tag&gt; &#x41; &#66; and more words here</p></body>"
+    )
+    nodes = tokenize_html(html)
+    assert len(nodes) == 1
+    assert nodes[0]["text"] == "A & B <tag> A B and more words here"
+
+
+def test_malformed_never_raises():
+    cases = [
+        b"<p>unclosed",
+        b"</div></div><p>stray closers</p>",
+        b"<p <broken attr>>text<</p>",
+        b"\xff\xfe garbage bytes \x00\x01",
+        b"<a href='unterminated quote>link</a><p>after</p>",
+        b"",
+    ]
+    for raw in cases:
+        nodes = tokenize_html(raw)  # must not raise
+        assert isinstance(nodes, list)
+
+
+def test_charset_sniffing():
+    sjis = "<html><head><meta charset=shift_jis></head><body><p>日本語テキストです</p></body></html>".encode("cp932")
+    assert sniff_charset(sjis) == "cp932"
+    nodes = tokenize_html(sjis)
+    assert nodes[-1]["text"] == "日本語テキストです"
+    assert sniff_charset(b"<html>plain") == "utf-8"
+    assert "日本語" in decode_html("日本語".encode("utf-8"))
+
+
+def test_title_extraction():
+    html = b"<head><title>The Title</title></head><body><h1>H1 Here</h1><p>body text words words words</p></body>"
+    nodes = tokenize_html(html)
+    assert page_title(nodes) == "The Title"
+    html2 = b"<body><h1>Only H1</h1><p>body</p></body>"
+    assert page_title(tokenize_html(html2)) == "Only H1"
+
+
+def test_nested_boiler_pop():
+    html = (
+        b"<body><nav><div>menu one</div><form><p>search</p></form><p>still nav</p></nav>"
+        b"<p>content after nav with plenty of words in this sentence</p></body>"
+    )
+    nodes = tokenize_html(html)
+    by_text = {n["text"]: n["tag_class"] for n in nodes}
+    assert by_text["menu one"] == "nav"
+    assert by_text["search"] == "form"
+    assert by_text["still nav"] == "nav"
+    assert by_text["content after nav with plenty of words in this sentence"] == "p"
+
+
+def test_pdf_roundtrip():
+    lines = ["Article 42", "Some body text with (parens) and \\ backslash", "最後の行"]
+    raw = make_pdf(lines)
+    assert is_pdf(raw)
+    nodes = tokenize_pdf(raw)
+    assert [n["text"] for n in nodes] == lines
+    assert all(n["tag_class"] == "p" for n in nodes)
+
+
+def test_pdf_garbage_yields_no_nodes():
+    assert tokenize_pdf(b"%PDF-1.4 then nothing sensible") == []
+
+
+def test_truncation_clamp():
+    # >2MB page gets truncated, not rejected (resolution-clamp analog)
+    big = b"<body><p>" + b"word " * 600000 + b"</p></body>"
+    nodes = tokenize_html(big)
+    assert isinstance(nodes, list)
