@@ -29,10 +29,18 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generate_pages(_docs(spark, sf_dir))
 
 
+_EXTRACT_CACHE: dict = {}
+
+
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction result, persisted per (session, sf_dir): six queries share
+    this pipeline, so the driver's per-query runs reuse one materialization."""
     from image_ocr_spark.plans.pipeline import extract_pages
 
-    return extract_pages(_pages(spark, sf_dir))
+    key = (id(spark), sf_dir)
+    if key not in _EXTRACT_CACHE:
+        _EXTRACT_CACHE[key] = extract_pages(_pages(spark, sf_dir)).persist()
+    return _EXTRACT_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -292,6 +300,102 @@ def q_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (per-row, shuffle-free) — exploded to rows."""
+    from image_ocr_spark.operators.dedup import minhash_col
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(minhash_col(t)).alias("perm_id", "minhash")
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs over the variant-injected corpus."""
+    from image_ocr_spark.operators.dedup import minhash_lsh_pairs, with_variants
+
+    return minhash_lsh_pairs(with_variants(_docs(spark, sf_dir)))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (>=0.5) over the variant corpus."""
+    from image_ocr_spark.operators.dedup import ngram_jaccard_pairs, with_variants
+
+    return ngram_jaccard_pairs(with_variants(_docs(spark, sf_dir)))
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from image_ocr_spark.operators.dedup import with_simhash
+
+    return with_simhash(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id", F.col("fp").alias("simhash")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=3 pairs via chunk-bucket candidates."""
+    from image_ocr_spark.operators.dedup import simhash_hamming_pairs, with_variants
+
+    return simhash_hamming_pairs(with_variants(_docs(spark, sf_dir)))
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for the first 16 vectors."""
+    from image_ocr_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 16), k=10)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned cosine top-5 (first-8-vector centroids) for 16 queries."""
+    from image_ocr_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 16), k=5, num_centroids=8)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from image_ocr_spark.functions.textstats import lang_id_columns
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return _docs(spark, sf_dir).select("doc_id", *lang_id_columns(t))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from image_ocr_spark.functions.textstats import quality_columns
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return _docs(spark, sf_dir).select("doc_id", *quality_columns(t))
+
+
+def q_span_right_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 span join (get_text_right_of, ref engines/base.py:127-152): for the
+    first 'spark' token per doc, the nearest following token within 3
+    positions — a range self-join + min_by pick over the token stream."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    kw = (
+        toks.filter(F.col("tok").contains("spark"))
+        .groupBy("doc_id")
+        .agg(F.min("pos").alias("kpos"))
+    )
+    cand = kw.join(toks, "doc_id").filter(
+        (F.col("pos") > F.col("kpos")) & (F.col("pos") - F.col("kpos") <= 3)
+    )
+    return cand.groupBy("doc_id", "kpos").agg(
+        F.min_by(F.col("tok"), F.col("pos") - F.col("kpos")).alias("value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": q_flagship,
@@ -308,6 +412,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_customers": q_region_customers,
         "events_running_max": q_events_running_max,
         "top_lineitems": q_top_lineitems,
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "dedup_simhash": q_dedup_simhash,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "span_right_of": q_span_right_of,
     }
 
 
@@ -420,6 +534,113 @@ def _fmt(expr: str) -> str:
         f"printf('%d,%03d', ({expr}) // 1000, ({expr}) % 1000) "
         f"ELSE printf('%d', ({expr})) END"
     )
+
+# ---------------------------------------------------------------------------
+# DuckDB fragments for the dedup/similarity oracles (shared 32-bit md5-prefix
+# hash; minhash permutation constants from image_ocr_spark.operators.dedup)
+# ---------------------------------------------------------------------------
+
+from image_ocr_spark.operators.dedup import (  # noqa: E402
+    MERSENNE31,
+    PERM_A,
+    PERM_B,
+    DEFAULT_NUM_PERM,
+)
+
+_SQL_CORPUS = """
+corpus AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         regexp_replace(coalesce(text, ''), '^[^ ]+', 'zzvariant')
+  FROM documents
+)"""
+
+
+def _sql_shingles(src: str) -> str:
+    """CTE body: (doc_id, hs LIST<BIGINT>) of distinct 3-gram shingle hashes."""
+    return f"""
+sh AS (
+  SELECT doc_id,
+    list_transform(
+      list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+                     for i in range(1, greatest(1, len(toks) - 2) + 1)]),
+      g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
+)"""
+
+
+def _sql_minhash_cte() -> str:
+    cols = ", ".join(
+        f"list_min(list_transform(hs, h -> ({PERM_A[i]} * h + {PERM_B[i]}) % {MERSENNE31})) AS s{i}"
+        for i in range(DEFAULT_NUM_PERM)
+    )
+    return f"mh AS (SELECT doc_id, {cols} FROM sh)"
+
+
+def _sql_bands_cte(bands: int = 4, rows: int = 4) -> str:
+    selects = []
+    for b in range(bands):
+        key = " || '_' || ".join(f"s{b * rows + r}" for r in range(rows))
+        selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM mh")
+    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+
+
+_SQL_SIMHASH_EXPR = """
+list_sum([CASE WHEN list_sum([((h >> b) & 1) * 2 - 1 for h in th]) > 0
+               THEN (1::BIGINT << b) ELSE 0::BIGINT END
+          for b in range(0, 32)])"""
+
+_SQL_TH = (
+    "list_transform(string_split(coalesce(text, ''), ' '), "
+    "t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Sequential-fold dot product matching Spark's aggregate order exactly
+    (list_reduce with no init folds left-to-right from the first element,
+    and 0.0 + x1 == x1 bitwise)."""
+    return (
+        f"list_reduce([{a}[i]::DOUBLE * {b}[i]::DOUBLE "
+        f"for i in range(1, len({a}) + 1)], (x, y) -> x + y)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / sqrt({_sql_dot(a, a)} * {_sql_dot(b, b)}))"
+
+
+def _sql_lang_id() -> str:
+    """hits_<lang> counts + priority-tiebreak argmax guess (mirrors
+    image_ocr_spark.functions.textstats.lang_id_columns)."""
+    from image_ocr_spark.functions.textstats import LANG_ORDER, LANG_STOPWORDS
+
+    hit_cols = []
+    for lang in LANG_ORDER:
+        stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+        hit_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{stops}], x))) AS hits_{lang}"
+        )
+    # earlier language wins ties; 'und' when all zero
+    cases = []
+    for i, lang in enumerate(LANG_ORDER):
+        conds = [f"hits_{lang} >= hits_{other}" for other in LANG_ORDER[i + 1:]] + [
+            f"hits_{lang} > hits_{other}" for other in LANG_ORDER[:i]
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    all_zero = " AND ".join(f"hits_{lang} = 0" for lang in LANG_ORDER)
+    return f"""
+        WITH b AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+                   FROM documents),
+             h AS (SELECT doc_id, {', '.join(hit_cols)} FROM b)
+        SELECT doc_id, {', '.join(f'hits_{lang}' for lang in LANG_ORDER)},
+               CASE WHEN {all_zero} THEN 'und'
+                    {' '.join(cases)}
+                    ELSE 'und' END AS lang_guess
+        FROM h
+    """
+
 
 # classifier score constants for the synthetic receipt/invoice bodies —
 # computed once from pycore on the fixed keyword sets (values verified in
@@ -572,5 +793,158 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             ORDER BY price_cents DESC, l_orderkey ASC, l_linenumber ASC
             LIMIT 10
+        """,
+        "minhash_signatures": (
+            "WITH src AS (SELECT doc_id, coalesce(text,'') AS text FROM documents), "
+            + _sql_shingles("src")
+            + ", "
+            + _sql_minhash_cte()
+            + " "
+            + " UNION ALL ".join(
+                f"SELECT doc_id, {i} AS perm_id, s{i} AS minhash FROM mh"
+                for i in range(DEFAULT_NUM_PERM)
+            )
+        ),
+        "dedup_minhash_lsh": (
+            "WITH "
+            + _SQL_CORPUS
+            + ", "
+            + _sql_shingles("corpus")
+            + ", "
+            + _sql_minhash_cte()
+            + ", "
+            + _sql_bands_cte()
+            + """
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            """
+        ),
+        "dedup_ngram_jaccard": (
+            "WITH "
+            + _SQL_CORPUS
+            + ", "
+            + _sql_shingles("corpus")
+            + """,
+            ex AS (SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS h FROM sh)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   (1000 * count(*)) // (any_value(a.n_sh) + any_value(b.n_sh) - count(*))
+                     AS jaccard_milli
+            FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING (1000 * count(*)) // (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 500
+            """
+        ),
+        "simhash_fingerprints": f"""
+            WITH th AS (SELECT doc_id, {_SQL_TH} AS th FROM documents)
+            SELECT doc_id, {_SQL_SIMHASH_EXPR} AS simhash FROM th
+        """,
+        "dedup_simhash": (
+            "WITH "
+            + _SQL_CORPUS
+            + f""",
+            th AS (SELECT doc_id, {_SQL_TH} AS th FROM corpus),
+            fps AS (SELECT doc_id, {_SQL_SIMHASH_EXPR} AS fp FROM th),
+            ch AS ("""
+            + " UNION ALL ".join(
+                f"SELECT doc_id, fp, {c} AS chunk, (fp >> {c * 8}) & 255 AS ckey FROM fps"
+                for c in range(4)
+            )
+            + """),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.fp AS fa, b.fp AS fb
+              FROM ch a JOIN ch b
+                ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, bit_count(xor(fa, fb))::INT AS hamming
+            FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+            """
+        ),
+        "knn_bruteforce": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 16),
+                 c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                       FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id,
+                              {_sql_cosine('qv', 'cv')} AS sim
+                       FROM q, c)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM s)
+            WHERE rank <= 10
+        """,
+        "knn_ivf": f"""
+            WITH cents AS (SELECT vec_id AS centroid_id, embedding AS centv
+                           FROM embeddings WHERE vec_id < 8),
+                 assign AS (
+                   SELECT vid, centroid_id AS cell, v FROM (
+                     SELECT e.vec_id AS vid, e.embedding AS v, c.centroid_id,
+                            row_number() OVER (
+                              PARTITION BY e.vec_id
+                              ORDER BY {_sql_cosine('e.embedding', 'c.centv')} DESC,
+                                       c.centroid_id ASC) AS rn
+                     FROM embeddings e, cents c)
+                   WHERE rn = 1),
+                 q AS (SELECT vid AS query_id, v AS qv, cell AS qcell
+                       FROM assign WHERE vid < 16),
+                 s AS (SELECT q.query_id, a.vid AS neighbor_id,
+                              {_sql_cosine('q.qv', 'a.v')} AS sim
+                       FROM q JOIN assign a ON q.qcell = a.cell)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM s)
+            WHERE rank <= 5
+        """,
+        "lang_id": _sql_lang_id(),
+        "text_quality": """
+            WITH b AS (SELECT doc_id, coalesce(text, '') AS t,
+                              string_split(coalesce(text, ''), ' ') AS toks
+                       FROM documents)
+            SELECT doc_id,
+              length(t)::BIGINT AS n_chars_text,
+              len(toks)::BIGINT AS n_tokens,
+              CASE WHEN len(toks) > 0
+                   THEN (1000 * (length(t) - (len(toks) - 1))) // len(toks)
+                   ELSE 0 END::BIGINT AS mean_token_len_milli,
+              (length(t) - length(regexp_replace(t, '[.,!?;:]', '', 'g')))::BIGINT
+                AS n_punct,
+              CASE WHEN len(toks) > 0
+                   THEN (1000 * len(list_filter(toks,
+                        x -> list_contains(['the','a','of','and','is','to','in'], x))))
+                        // len(toks)
+                   ELSE 0 END::BIGINT AS stopword_ratio_milli,
+              (length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')))::BIGINT
+                AS n_upper,
+              (least(len(toks), 400)
+               + (CASE WHEN len(toks) > 0
+                       THEN (1000 * len(list_filter(toks,
+                            x -> list_contains(['the','a','of','and','is','to','in'], x))))
+                            // len(toks)
+                       ELSE 0 END) // 10
+               - least((length(t) - length(regexp_replace(t, '[.,!?;:]', '', 'g'))) * 5,
+                       200))::BIGINT AS quality_score
+            FROM b
+        """,
+        "span_right_of": """
+            WITH base AS (SELECT doc_id,
+                                 string_split(coalesce(text, ''), ' ') AS ts
+                          FROM documents),
+                 toks AS (SELECT doc_id,
+                                 unnest([struct_pack(pos := i - 1, tok := ts[i])
+                                         for i in range(1, len(ts) + 1)],
+                                        recursive := true)
+                          FROM base),
+                 kw AS (SELECT doc_id, min(pos) AS kpos FROM toks
+                        WHERE contains(tok, 'spark') GROUP BY doc_id),
+                 cand AS (SELECT t.doc_id, kw.kpos, t.tok, t.pos
+                          FROM kw JOIN toks t ON kw.doc_id = t.doc_id
+                          WHERE t.pos > kw.kpos AND t.pos - kw.kpos <= 3)
+            SELECT doc_id, kpos, arg_min(tok, pos - kpos) AS value
+            FROM cand GROUP BY doc_id, kpos
         """,
     }

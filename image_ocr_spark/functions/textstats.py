@@ -1,0 +1,98 @@
+"""Text-analysis columns for training-data pipelines: language-ID heuristic,
+quality scoring, token stats — all integer-valued (milli-units) so the
+DuckDB oracle matches bit-exactly, all per-row expressions (no shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword dictionaries for the n-gram/stopword heuristic
+LANG_STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "de", "y", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des", "une"],
+    "ja": ["の", "は", "を", "に", "が"],
+}
+LANG_ORDER = ["en", "de", "es", "fr", "ja"]  # deterministic tiebreak order
+
+PUNCT_PATTERN = r"[.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of `lang` (multiplicity counted)."""
+    stops = LANG_STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*stops)))
+
+
+def lang_id_columns(text: Column) -> List[Column]:
+    """Per-language stopword hit counts + argmax guess ('und' if all zero).
+
+    Tiebreak: LANG_ORDER priority (earlier wins), exactly reproducible in
+    SQL via a scored struct max.
+    """
+    hits = {lang: stopword_hits(text, lang) for lang in LANG_ORDER}
+    cols = [hits[lang].alias(f"hits_{lang}") for lang in LANG_ORDER]
+    # argmax with priority tiebreak: maximize (hits, -priority)
+    best = None
+    for prio, lang in enumerate(LANG_ORDER):
+        cand = F.struct(
+            hits[lang].alias("h"), F.lit(-prio).alias("p"), F.lit(lang).alias("lang")
+        )
+        best = cand if best is None else F.when(
+            (cand["h"] > best["h"])
+            | ((cand["h"] == best["h"]) & (cand["p"] > best["p"])),
+            cand,
+        ).otherwise(best)
+    guess = F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return cols + [guess.alias("lang_guess")]
+
+
+def quality_columns(text: Column) -> List[Column]:
+    """Integer quality features + a composite milli-score.
+
+    Features: char length, token count, mean token length (milli), punct
+    count, stopword ratio (milli), uppercase-char count.  The composite is a
+    simple bounded sum used for filtering thresholds — the point is the
+    plumbing (per-row, SQL-expressible), not the specific weights.
+    """
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    mean_tok_len_milli = F.when(
+        n_tokens > 0,
+        (1000 * (n_chars - (n_tokens - 1)) / n_tokens).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    n_punct = F.coalesce(
+        F.length(text) - F.length(F.regexp_replace(text, PUNCT_PATTERN, "")),
+        F.lit(0),
+    )
+    stop_hits = stopword_hits(text, "en")
+    stop_ratio_milli = F.when(
+        n_tokens > 0, (1000 * stop_hits / n_tokens).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    n_upper = F.length(text) - F.length(
+        F.regexp_replace(text, "[A-Z]", "")
+    )
+    score = (
+        F.least(n_tokens.cast("long"), F.lit(400).cast("long"))
+        + stop_ratio_milli / 10
+        - F.least(n_punct.cast("long") * 5, F.lit(200).cast("long"))
+    ).cast("long")
+    return [
+        n_chars.cast("long").alias("n_chars_text"),
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_tok_len_milli.alias("mean_token_len_milli"),
+        n_punct.cast("long").alias("n_punct"),
+        stop_ratio_milli.alias("stopword_ratio_milli"),
+        n_upper.cast("long").alias("n_upper"),
+        score.alias("quality_score"),
+    ]
