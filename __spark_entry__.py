@@ -124,7 +124,37 @@ def q_invoice_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         "branch_name",
         "account_type",
         "account_number",
+        "vendor_name",
+        "customer_name",
     )
+
+
+def q_invoice_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from image_ocr_spark.functions.extract_fields import extract_invoice_fields_df
+
+    invoices = _extracted(spark, sf_dir).filter(F.col("doc_type") == "invoice")
+    out = extract_invoice_fields_df(invoices, keys=("doc_id",))
+    return out.select("doc_id", F.explode("items").alias("item")).select(
+        "doc_id",
+        F.col("item.name").alias("name"),
+        F.col("item.quantity").alias("quantity"),
+        F.col("item.unit_price").alias("unit_price"),
+        F.col("item.amount").alias("amount"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media -> Arrow-batched feature extraction
+    (decode stubbed — deterministic byte-histogram fake; see
+    operators/multimodal.py).  Rows-only driver check: float features are
+    not SQL-reproducible, but tests/test_scale_mechanics.py verifies them
+    against the single-process implementation."""
+    from image_ocr_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media,
+    )
+
+    return extract_media_features(synth_media(_docs(spark, sf_dir)))
 
 
 def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,7 +452,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "span_right_of": q_span_right_of,
+        "invoice_items": q_invoice_items,
+        "media_features": q_media_features,
     }
+
+
+# queries with no SQL-expressible oracle (driver records rows-only check);
+# each is verified against a single-process implementation in tests/
+ROWS_ONLY_QUERIES = {"media_features"}
 
 
 # ---------------------------------------------------------------------------
@@ -707,7 +744,21 @@ def oracle_sql() -> dict[str, str]:
               '三菱UFJ銀行' AS bank_name,
               '新宿支店' AS branch_name,
               '普通' AS account_type,
-              printf('%d', 1000000 + doc_id % 9000000) AS account_number
+              printf('%d', 1000000 + doc_id % 9000000) AS account_number,
+              '株式会社テスト商事' AS vendor_name,
+              'サンプル株式会社 御中' AS customer_name
+            FROM iv
+        """,
+        "invoice_items": """
+            WITH iv AS (
+              SELECT doc_id,
+                     1 + doc_id % 9 AS qty,
+                     1000 + (doc_id % 50) * 100 AS unit,
+                     (1 + doc_id % 9) * (1000 + (doc_id % 50) * 100) AS sub
+              FROM documents WHERE doc_id % 10 = 7
+            )
+            SELECT doc_id, 'ウィジェット' AS name, qty::INT AS quantity,
+                   unit::BIGINT AS unit_price, sub::BIGINT AS amount
             FROM iv
         """,
         "date_normalize": """

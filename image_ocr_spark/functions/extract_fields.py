@@ -217,6 +217,7 @@ def extract_receipt_fields_df(
         payment_method(text).alias("payment_method"),
         tax_rate(text, pf.P_TAX8).alias("tax_rate_8"),
         tax_rate(text, pf.P_TAX10).alias("tax_rate_10"),
+        (F.length(text) == 0).alias("_no_content"),
     )
 
     lines = _lines(df, keys, text_col).withColumn("line", F.trim(F.col("line")))
@@ -258,13 +259,114 @@ def extract_receipt_fields_df(
             lambda x: x.getField("item"),
         ).alias("items"),
     )
-    return doc_scalars.join(line_agg, keys, "left")
+    joined = doc_scalars.join(line_agg, keys, "left")
+    return joined.withColumn("warnings", receipt_warnings_col()).drop("_no_content")
+
+
+def vendor_on_line(line: Column) -> Column:
+    """F14: first company pattern on a non-addressee line (ref
+    invoice.py:347-369)."""
+    company = F.coalesce(
+        *[
+            F.when(F.regexp_extract(line, pat, 1) != "",
+                   F.regexp_extract(line, pat, 1))
+            for pat in pf.P_COMPANY
+        ]
+    )
+    veto = F.contains(line, F.lit("御中")) | F.contains(line, F.lit("様"))
+    return F.when(~veto, F.trim(company))
+
+
+def customer_on_line(line: Column) -> Column:
+    """F15: prefix before 御中/殿 + re-appended honorific (ref
+    invoice.py:371-388)."""
+    head_g = F.trim(F.element_at(F.split(line, "御中"), 1))
+    head_d = F.trim(F.element_at(F.split(line, "殿"), 1))
+    return F.coalesce(
+        F.when(F.contains(line, F.lit("御中")) & (head_g != ""),
+               F.concat(head_g, F.lit(" 御中"))),
+        F.when(F.contains(line, F.lit("殿")) & (head_d != ""),
+               F.concat(head_d, F.lit(" 殿"))),
+    )
+
+
+INVOICE_ITEM_SCHEMA = (
+    "struct<name:string, quantity:int, unit_price:bigint, amount:bigint>"
+)
+
+
+def parse_invoice_item_line(line: Column) -> Column:
+    """F20 table-row parse (ref invoice.py:443-475)."""
+    name = F.trim(F.regexp_extract(line, pf.P_ITEM_ROW, 1))
+    qty = F.regexp_extract(line, pf.P_ITEM_ROW, 2)
+    unit = F.regexp_extract(line, pf.P_ITEM_ROW, 3)
+    amt_g = F.regexp_extract(line, pf.P_ITEM_ROW, 4)
+    amount = normalize_amount(F.when(amt_g != "", amt_g))
+    ok = (
+        (qty != "")
+        & (name != "")
+        & ~_contains_any(name, pf.INVOICE_ITEM_VETO)
+        & amount.isNotNull()
+        & (amount != 0)
+    )
+    return F.when(
+        ok,
+        F.struct(
+            name.alias("name"),
+            qty.cast("int").alias("quantity"),
+            normalize_amount(F.when(unit != "", unit)).alias("unit_price"),
+            amount.alias("amount"),
+        ),
+    )
+
+
+def _warnings_array(*pairs) -> Column:
+    """array of warning strings from (condition, message) pairs, nulls out."""
+    return F.filter(
+        F.array(*[F.when(cond, F.lit(msg)) for cond, msg in pairs]),
+        lambda x: x.isNotNull(),
+    )
+
+
+def receipt_warnings_col() -> Column:
+    """Mirror of pycore.fields.receipt_warnings over the joined fields row
+    (no_content = empty text)."""
+    reduced = F.exists(F.col("items"), lambda i: i["reduced_tax"])
+    return _warnings_array(
+        (F.col("date").isNull(), "日付を抽出できませんでした"),
+        (F.col("total_amount").isNull(), "合計金額を抽出できませんでした"),
+        (F.col("store_name").isNull(), "店舗名を抽出できませんでした"),
+        (F.col("_no_content"), "本文を抽出できませんでした"),
+        (
+            reduced & F.col("tax_rate_8").isNull() & F.col("tax_rate_10").isNull(),
+            "軽減税率対象品目がありますが、税額詳細が見つかりません",
+        ),
+    )
+
+
+def invoice_warnings_col() -> Column:
+    return _warnings_array(
+        (F.col("invoice_date").isNull(), "請求日を抽出できませんでした"),
+        (F.col("total_amount").isNull(), "請求総額を抽出できませんでした"),
+        (F.col("vendor_name").isNull(), "発行元名を抽出できませんでした"),
+        (
+            F.col("bank_name").isNull() & F.col("account_number").isNull(),
+            "振込先口座情報を抽出できませんでした",
+        ),
+        (
+            (F.col("bank_name").isNotNull() | F.col("account_number").isNotNull())
+            & F.col("account_number").isNull(),
+            "口座番号を抽出できませんでした",
+        ),
+        (F.col("_no_content"), "本文を抽出できませんでした"),
+    )
 
 
 def extract_invoice_fields_df(
     df: DataFrame, keys: Sequence[str] = ("url",), text_col: str = "text"
 ) -> DataFrame:
-    """(keys, text) -> invoice fields (ref invoice.py:164-217)."""
+    """(keys, text) -> invoice fields + items + warnings (ref
+    invoice.py:164-217)."""
     keys = list(keys)
     text = F.col(text_col)
     sub_g = F.regexp_extract(text, pf.P_SUBTOTAL_KW, 1)
@@ -275,6 +377,7 @@ def extract_invoice_fields_df(
         normalize_amount(F.when(sub_g != "", sub_g)).alias("subtotal"),
         normalize_amount(F.when(tax_g != "", tax_g)).alias("tax_amount"),
         *bank_columns(text),
+        (F.length(text) == 0).alias("_no_content"),
     )
     lines = _lines(df, keys, text_col)
     line_date = date_in_text(F.col("line"))
@@ -282,9 +385,23 @@ def extract_invoice_fields_df(
     inv_date_hit = _contains_any(F.col("line"), pf.INVOICE_DATE_KEYWORDS)
     due_hit = _contains_any(F.col("line"), pf.DUE_DATE_KEYWORDS)
     total_hit = _contains_any(F.col("line"), pf.INVOICE_TOTAL_KEYWORDS)
+    vendor = vendor_on_line(F.col("line"))
+    customer = customer_on_line(F.col("line"))
+    item = parse_invoice_item_line(F.col("line"))
     line_agg = lines.groupBy(*keys).agg(
         _minby_line(line_date, inv_date_hit & line_date.isNotNull()).alias("invoice_date"),
         _minby_line(line_date, due_hit & line_date.isNotNull()).alias("due_date"),
         _minby_line(amt, total_hit & amt.isNotNull() & (amt > 0)).alias("total_amount"),
+        _minby_line(vendor, vendor.isNotNull() & (vendor != "")).alias("vendor_name"),
+        _minby_line(customer, customer.isNotNull()).alias("customer_name"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(item.isNotNull(), F.struct(F.col("pos"), item.alias("item")))
+                )
+            ),
+            lambda x: x["item"],
+        ).alias("items"),
     )
-    return doc_scalars.join(line_agg, keys, "left")
+    joined = doc_scalars.join(line_agg, keys, "left")
+    return joined.withColumn("warnings", invoice_warnings_col()).drop("_no_content")

@@ -26,6 +26,8 @@ from .fields import (
     P_PHONE,
     extract_invoice_fields,
     extract_receipt_fields,
+    invoice_warnings,
+    receipt_warnings,
 )
 from .htmltok import page_title, tokenize_html
 from .pdftok import is_pdf, tokenize_pdf
@@ -79,8 +81,10 @@ def extract_page(html: bytes) -> Dict:
     fields: Dict = {}
     if doc_type == "receipt":
         fields = extract_receipt_fields(text)
+        fields["warnings"] = receipt_warnings(fields, no_content=(text == ""))
     elif doc_type == "invoice":
         fields = extract_invoice_fields(text)
+        fields["warnings"] = invoice_warnings(fields, no_content=(text == ""))
 
     if not text:
         warnings.append("no main content extracted")

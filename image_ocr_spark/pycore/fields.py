@@ -46,7 +46,15 @@ P_TAX10 = r"(?:10%|１０%|10％|１０％)[^\n]*?[¥￥]? ?([0-9,，]+)"
 P_SUBTOTAL_KW = r"(?:税抜金額|税抜|小計)[: ：]*[¥￥]? ?([0-9,，]+)"
 P_TAXAMT_KW = r"(?:消費税額|消費税|税額)[: ：]*[¥￥]? ?([0-9,，]+)"
 P_QTY = r"[×x] ?([0-9]+)"
-P_ITEM_ROW = r"^(.{2,30}?) ([0-9]+) ?個? [¥￥]?([0-9,，]+) [¥￥]?([0-9,，]+)$"
+P_ITEM_ROW = r"(.{2,30}?) +([0-9]+) +[¥￥]?([0-9,，]+) +[¥￥]?([0-9,，]+)"
+P_COMPANY = [
+    r"(株式会社[^ \n]{1,30})",
+    r"([^ \n]{1,20}株式会社)",
+    r"(有限会社[^ \n]{1,30})",
+    r"([^ \n]{1,20}有限会社)",
+    r"(合同会社[^ \n]{1,30})",
+]
+INVOICE_ITEM_VETO = ["品名", "商品", "数量", "単価", "合計", "小計"]
 
 TOTAL_KEYWORDS = [
     "合計", "計", "TOTAL", "Total", "税込合計", "税込計",
@@ -280,6 +288,92 @@ def parse_item_line(line: str) -> Optional[Dict]:
     return None
 
 
+def extract_vendor_name(text: str) -> Optional[str]:
+    """First company-pattern hit on a line without 御中/様 (F14, ref
+    invoice.py:347-369; line order outer, pattern priority inner)."""
+    for line in text.split("\n"):
+        for pat in P_COMPANY:
+            m = re.search(pat, line)
+            if m and "御中" not in line and "様" not in line:
+                return m.group(1).strip()
+    return None
+
+
+def extract_customer_name(text: str) -> Optional[str]:
+    """Prefix before 御中/殿 + re-appended honorific (F15, ref
+    invoice.py:371-388)."""
+    for line in text.split("\n"):
+        if "御中" in line:
+            head = line.split("御中")[0].strip()
+            if head:
+                return head + " 御中"
+        if "殿" in line:
+            head = line.split("殿")[0].strip()
+            if head:
+                return head + " 殿"
+    return None
+
+
+def extract_invoice_items(text: str) -> List[Dict]:
+    """Table-row items (F20, ref invoice.py:443-475)."""
+    items = []
+    rx = re.compile(P_ITEM_ROW)
+    for line in text.split("\n"):
+        m = rx.search(line)
+        if not m:
+            continue
+        name = m.group(1).strip()
+        if any(kw in name for kw in INVOICE_ITEM_VETO):
+            continue
+        amount = normalize_amount(m.group(4))
+        if name and amount:
+            items.append(
+                {
+                    "name": name,
+                    "quantity": int(m.group(2)),
+                    "unit_price": normalize_amount(m.group(3)),
+                    "amount": amount,
+                }
+            )
+    return items
+
+
+def receipt_warnings(fields: Dict, no_content: bool) -> List[str]:
+    """Missing-field warnings (ref receipt.py:456-482; the OCR-confidence
+    warning maps to the no-main-content condition)."""
+    w = []
+    if not fields.get("date"):
+        w.append("日付を抽出できませんでした")
+    if not fields.get("total_amount"):
+        w.append("合計金額を抽出できませんでした")
+    if not fields.get("store_name"):
+        w.append("店舗名を抽出できませんでした")
+    if no_content:
+        w.append("本文を抽出できませんでした")
+    reduced = [i for i in fields.get("items", []) if i.get("reduced_tax")]
+    if reduced and not (fields.get("tax_rate_8") or fields.get("tax_rate_10")):
+        w.append("軽減税率対象品目がありますが、税額詳細が見つかりません")
+    return w
+
+
+def invoice_warnings(fields: Dict, no_content: bool) -> List[str]:
+    """ref invoice.py:477-503."""
+    w = []
+    if not fields.get("invoice_date"):
+        w.append("請求日を抽出できませんでした")
+    if not fields.get("total_amount"):
+        w.append("請求総額を抽出できませんでした")
+    if not fields.get("vendor_name"):
+        w.append("発行元名を抽出できませんでした")
+    if not (fields.get("bank_name") or fields.get("account_number")):
+        w.append("振込先口座情報を抽出できませんでした")
+    elif not fields.get("account_number"):
+        w.append("口座番号を抽出できませんでした")
+    if no_content:
+        w.append("本文を抽出できませんでした")
+    return w
+
+
 def extract_receipt_fields(text: str) -> Dict:
     """Whole-receipt assembly (ref receipt.py:144-188 order)."""
     raw, iso = extract_date(text)
@@ -309,5 +403,8 @@ def extract_invoice_fields(text: str) -> Dict:
         "total_amount": extract_invoice_total(text),
         "subtotal": brk["subtotal"],
         "tax_amount": brk["tax_amount"],
+        "vendor_name": extract_vendor_name(text),
+        "customer_name": extract_customer_name(text),
+        "items": extract_invoice_items(text),
         **bank,
     }

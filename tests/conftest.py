@@ -23,6 +23,17 @@ def documents(spark):
 
 
 @pytest.fixture(scope="session")
+def extracted(spark, documents):
+    """Shared flagship-extraction result over the fixture corpus (persisted)."""
+    from image_ocr_spark.operators.generate import generate_pages
+    from image_ocr_spark.plans.pipeline import extract_pages
+
+    df = extract_pages(generate_pages(documents)).persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="session")
 def doc_rows():
     """(doc_id, text, lang) rows straight from parquet via duckdb (no Spark)."""
     import duckdb

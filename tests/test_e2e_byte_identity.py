@@ -24,10 +24,9 @@ def test_oracle_matches_generator_ground_truth(doc_rows):
         )
 
 
-def test_spark_pipeline_byte_identical_to_oracle(spark, documents, doc_rows):
+def test_spark_pipeline_byte_identical_to_oracle(spark, extracted, doc_rows):
     """Distributed result == oracle result, byte for byte, per url."""
-    pages = generate_pages(documents)
-    got = {r.doc_id: r for r in extract_pages(pages).collect()}
+    got = {r.doc_id: r for r in extracted.collect()}
     assert len(got) == len(doc_rows)
     for doc_id, text, lang in doc_rows:
         oracle = extract_page(build_page(doc_id, text, lang)["html"])

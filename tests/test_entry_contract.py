@@ -49,9 +49,12 @@ def duck():
 def test_every_query_has_oracle():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    # every query should be oracle-checked unless documented otherwise
+    # every query is oracle-checked unless declared rows-only (each of those
+    # is covered by a single-process comparison elsewhere in tests/)
     missing = set(qs) - set(os_)
-    assert missing == set(), f"queries without oracle: {missing}"
+    assert missing == entrymod.ROWS_ONLY_QUERIES, (
+        f"queries without oracle: {missing}"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))

@@ -1,0 +1,100 @@
+"""Checkpoint manifests + resume, streaming ingest, multimodal plumbing."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_ocr_spark.operators.checkpoint import BucketedCheckpoint
+from image_ocr_spark.operators.generate import generate_pages
+from image_ocr_spark.plans.pipeline import extract_pages
+
+
+@pytest.fixture()
+def pages(spark, documents):
+    return generate_pages(documents.limit(120))
+
+
+def test_checkpoint_resume(spark, pages, tmp_path):
+    root = str(tmp_path / "ckpt")
+    ck = BucketedCheckpoint(root, num_buckets=8)
+    assert ck.pending() == list(range(8))
+
+    # simulate a killed run: only the first batch of buckets completes
+    done = ck.run(pages, extract_pages, buckets_per_batch=3, max_batches=1)
+    assert done == [0, 1, 2]
+    assert ck.pending() == [3, 4, 5, 6, 7]
+    partial = ck.result(spark).count()
+    assert 0 < partial < pages.count()
+
+    # resume: processes exactly the pending buckets
+    done2 = ck.run(pages, extract_pages, buckets_per_batch=3)
+    assert done2 == [3, 4, 5, 6, 7]
+    assert ck.pending() == []
+
+    # committed result == direct one-shot run
+    direct = {r.url: r.text for r in extract_pages(pages).collect()}
+    resumed = {r.url: r.text for r in ck.result(spark).collect()}
+    assert resumed == direct
+
+    # lineage counters present and consistent
+    m = ck.metrics()
+    assert m["buckets"] == 8
+    assert m["output_rows"] == len(direct)
+    assert m["input_rows"] == len(direct)
+    assert m["output_bytes"] > 0
+    with open(os.path.join(root, "_manifests", "bucket-00000.json")) as fh:
+        rec = json.load(fh)
+    assert {"bucket", "input_rows", "output_rows", "output_bytes", "wall_s"} <= set(rec)
+
+
+def test_checkpoint_rerun_is_noop(spark, pages, tmp_path):
+    ck = BucketedCheckpoint(str(tmp_path / "ck2"), num_buckets=4)
+    ck.run(pages, extract_pages, buckets_per_batch=4)
+    assert ck.run(pages, extract_pages) == []  # nothing pending
+
+
+def test_streaming_ingest_matches_batch(spark, pages, tmp_path):
+    from image_ocr_spark.streaming.ingest import run_ingest
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    pages.write.parquet(pages_dir)
+
+    run_ingest(spark, pages_dir, out_dir, ck_dir, available_now=True)
+    streamed = {r.url: r.text for r in spark.read.parquet(out_dir).collect()}
+    batch = {r.url: r.text for r in extract_pages(pages).collect()}
+    assert streamed == batch
+
+    # drain again with the same checkpoint: no new files -> no duplicates
+    run_ingest(spark, pages_dir, out_dir, ck_dir, available_now=True)
+    assert spark.read.parquet(out_dir).count() == len(batch)
+
+
+def test_multimodal_feature_plumbing(spark, documents):
+    from image_ocr_spark.operators.multimodal import (
+        byte_histogram_features,
+        extract_media_features,
+        synth_media,
+    )
+
+    media = synth_media(documents.limit(50))
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 50
+    by_id = {r.media_id: r for r in feats}
+    # deterministic + matches the single-process implementation
+    raw = {r.media_id: bytes(r.content) for r in media.collect()}
+    for mid, row in by_id.items():
+        assert row.n_bytes == len(raw[mid])
+        expected = byte_histogram_features(raw[mid])
+        assert [round(float(x), 6) for x in row.feature] == expected
+    assert {r.media_type for r in feats} == {"image", "audio", "video"}
+
+
+def test_multimodal_decode_is_stubbed():
+    from image_ocr_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")
