@@ -426,6 +426,91 @@ def q_span_right_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled spans (date/amount/phone) with character offsets over the
+    canonical extracted text — pure Spark SQL (regexp_extract_all + a
+    cumulative locate fold).  Rows-only driver check; tests prove the SQL
+    path == Arrow path == pycore oracle across the corpus."""
+    from image_ocr_spark.operators.spans import label_spans_sql
+
+    return label_spans_sql(_extracted(spark, sf_dir))
+
+
+def q_span_below(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 get_text_below (ref engines/base.py:154-175): the line directly
+    below the first 小計 line of each receipt page."""
+    receipts = _extracted(spark, sf_dir).filter(F.col("doc_type") == "receipt")
+    lines = receipts.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line")
+    )
+    kw = (
+        lines.filter(F.col("line").contains("小計"))
+        .groupBy("doc_id")
+        .agg(F.min("pos").alias("kpos"))
+    )
+    below = kw.join(lines, "doc_id").filter(F.col("pos") > F.col("kpos"))
+    return below.groupBy("doc_id").agg(
+        F.min_by(F.col("line"), F.col("pos") - F.col("kpos")).alias("below_line")
+    )
+
+
+def q_classify_reasoning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F25 reasoning string: winner label + integer-percent confidence +
+    top-5 matched keywords (ref classifier.py:247-259)."""
+    from image_ocr_spark.functions.normalize import fold_alnum_upper
+    from image_ocr_spark.pycore.classify import RECEIPT_KEYWORDS_W10, INVOICE_KEYWORDS_W10
+
+    df = _extracted(spark, sf_dir).withColumn(
+        "_folded", fold_alnum_upper(F.col("text"))
+    )
+    total = F.col("receipt_score_centi") + F.col("invoice_score_centi")
+    top = F.greatest("receipt_score_centi", "invoice_score_centi")
+    conf_bp = F.when(total > 0, F.round(10000 * top / total).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    pct = F.format_string("%d.%02d%%", (conf_bp / 100).cast("long"), conf_bp % 100)
+
+    def matched(kws: dict) -> F.Column:
+        arr = F.array(*[F.lit(k.upper()) for k in kws])
+        hits = F.filter(arr, lambda k: F.contains(F.col("_folded"), k))
+        return F.array_join(
+            F.transform(F.slice(hits, 1, 5), lambda k: F.concat(F.lit('"'), k, F.lit('"'))),
+            ", ",
+        )
+
+    winner_jp = F.when(
+        F.col("receipt_score_centi") > F.col("invoice_score_centi"), F.lit("領収書")
+    ).otherwise(F.lit("請求書"))
+    winner_kws = F.when(
+        F.col("receipt_score_centi") > F.col("invoice_score_centi"),
+        matched(RECEIPT_KEYWORDS_W10),
+    ).otherwise(matched(INVOICE_KEYWORDS_W10))
+    reasoning = F.when(
+        F.col("doc_type") == "unknown",
+        F.format_string("確信度が閾値未満（%s < 30.00%%）", pct),
+    ).otherwise(
+        F.format_string(
+            "%sと判定 (confidence: %s, 検出キーワード: %s)",
+            winner_jp,
+            pct,
+            winner_kws,
+        )
+    )
+    return df.select("doc_id", "doc_type", reasoning.alias("reasoning"))
+
+
+def q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 median (ref preprocessor.py:979-997 deskew-angle median) as exact
+    percentile over event values; x2 so the interpolated midpoint stays
+    integral."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        (2 * F.percentile(cents, 0.5)).cast("long").alias("median_cents_x2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": q_flagship,
@@ -454,12 +539,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_right_of": q_span_right_of,
         "invoice_items": q_invoice_items,
         "media_features": q_media_features,
+        "label_spans": q_label_spans,
+        "span_below": q_span_below,
+        "classify_reasoning": q_classify_reasoning,
+        "median_by_type": q_median_by_type,
     }
 
 
 # queries with no SQL-expressible oracle (driver records rows-only check);
 # each is verified against a single-process implementation in tests/
-ROWS_ONLY_QUERIES = {"media_features"}
+ROWS_ONLY_QUERIES = {"media_features", "label_spans"}
 
 
 # ---------------------------------------------------------------------------
@@ -980,6 +1069,31 @@ def oracle_sql() -> dict[str, str]:
                - least((length(t) - length(regexp_replace(t, '[.,!?;:]', '', 'g'))) * 5,
                        200))::BIGINT AS quality_score
             FROM b
+        """,
+        "span_below": """
+            SELECT doc_id,
+                   printf('合計 ¥%d',
+                          450 + (doc_id % 10) * 20 + ((doc_id // 10) % 10) * 10)
+                     AS below_line
+            FROM documents WHERE doc_id % 10 = 6
+        """,
+        "classify_reasoning": """
+            SELECT doc_id,
+              CASE doc_id % 10 WHEN 6 THEN 'receipt' WHEN 7 THEN 'invoice'
+                   ELSE 'unknown' END AS doc_type,
+              CASE doc_id % 10
+                WHEN 6 THEN '領収書と判定 (confidence: 100.00%, 検出キーワード: "領収書", "合計", "小計", "お預り", "現金")'
+                WHEN 7 THEN '請求書と判定 (confidence: 100.00%, 検出キーワード: "請求書", "請求金額", "支払期限", "振込先", "銀行")'
+                ELSE '確信度が閾値未満（0.00% < 30.00%）'
+              END AS reasoning
+            FROM documents
+        """,
+        "median_by_type": """
+            SELECT event_type,
+                   CAST(2 * median(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS median_cents_x2,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "span_right_of": """
             WITH base AS (SELECT doc_id,
