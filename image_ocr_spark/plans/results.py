@@ -111,9 +111,12 @@ def assemble_results(extracted: DataFrame) -> DataFrame:
         "invoice_data",
         "text",
         "title",
-        F.coalesce(F.col("_rw"), F.col("_iw"), F.array().cast("array<string>")).alias(
-            "warnings"
-        ),
+        # warning cap [:20] (ref tesseract_engine.py:195, pipeline.py:200)
+        F.slice(
+            F.coalesce(F.col("_rw"), F.col("_iw"), F.array().cast("array<string>")),
+            1,
+            20,
+        ).alias("warnings"),
     )
 
 
