@@ -236,8 +236,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.coalesce(F.col("text"), F.lit(""))
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.size(F.split(t, " ")).alias("n_tokens"),
-        F.length(t).alias("n_chars_actual"),
+        F.size(F.split(t, " ")).cast("long").alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars_actual"),
     )
 
 

@@ -30,7 +30,7 @@ def tokens(text: Column) -> Column:
 def stopword_hits(text: Column, lang: str) -> Column:
     """Count of tokens that are stopwords of `lang` (multiplicity counted)."""
     stops = LANG_STOPWORDS[lang]
-    return F.size(F.filter(tokens(text), lambda t: t.isin(*stops)))
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*stops))).cast("long")
 
 
 def lang_id_columns(text: Column) -> List[Column]:

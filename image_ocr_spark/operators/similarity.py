@@ -70,7 +70,7 @@ def brute_force_topk(
         F.desc("sim"), F.asc("neighbor_id")
     )
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -139,7 +139,7 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
