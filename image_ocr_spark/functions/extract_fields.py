@@ -259,7 +259,9 @@ def extract_receipt_fields_df(
             lambda x: x.getField("item"),
         ).alias("items"),
     )
-    joined = doc_scalars.join(line_agg, keys, "left")
+    # shuffle-hash, not broadcast: both sides are document-scale relations
+    # (a broadcast here also OOMs a default-heap driver at test scale)
+    joined = doc_scalars.join(line_agg.hint("shuffle_hash"), keys, "left")
     return joined.withColumn("warnings", receipt_warnings_col()).drop("_no_content")
 
 
@@ -403,5 +405,5 @@ def extract_invoice_fields_df(
             lambda x: x["item"],
         ).alias("items"),
     )
-    joined = doc_scalars.join(line_agg, keys, "left")
+    joined = doc_scalars.join(line_agg.hint("shuffle_hash"), keys, "left")
     return joined.withColumn("warnings", invoice_warnings_col()).drop("_no_content")

@@ -95,9 +95,10 @@ def assemble_results(extracted: DataFrame) -> DataFrame:
         "url", _invoice_struct().alias("invoice_data"),
         F.col("warnings").alias("_iw"),
     )
+    # document-scale join sides: force shuffle joins (see extract_fields)
     joined = (
-        extracted.join(receipts, "url", "left")
-        .join(invoices, "url", "left")
+        extracted.join(receipts.hint("shuffle_hash"), "url", "left")
+        .join(invoices.hint("shuffle_hash"), "url", "left")
     )
     return joined.select(
         "url",
