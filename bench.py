@@ -32,7 +32,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LO = int(os.environ.get("SPARK_GRAFT_BENCH_LO", "4"))
 HI = int(os.environ.get("SPARK_GRAFT_BENCH_HI", "16"))
-REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "80"))
+REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "120"))
 BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "240"))
 CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
 

@@ -127,6 +127,56 @@ def extract_text(nodes: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# formulation 0: packed documents (the production path) — zero shuffles
+# ---------------------------------------------------------------------------
+
+
+def extract_text_packed(packed: DataFrame) -> DataFrame:
+    """tokenize_packed output -> same rows as extract_text, with NO shuffle:
+    a document's nodes arrive as one array (already in document order), so
+    seed/smoothing/assembly are pure per-row higher-order expressions."""
+    seeds = F.transform(F.col("nodes"), _seed_of)
+    df = packed.withColumn("seeds", seeds)
+    neighbor = lambda i, off: F.coalesce(  # noqa: E731
+        F.get(F.col("seeds"), i + off), F.lit(False)
+    )
+    content = F.transform(
+        F.col("nodes"),
+        lambda x, i: F.get(F.col("seeds"), i)
+        | (_smoothable(x) & (neighbor(i, -1) | neighbor(i, 1))),
+    )
+    df = df.withColumn("content_flags", content)
+    zipped = F.arrays_zip(F.col("nodes"), F.col("content_flags"))
+    raw_text = F.array_join(
+        F.transform(
+            F.filter(zipped, lambda z: z["content_flags"]),
+            lambda z: z["nodes"]["text"],
+        ),
+        "\n",
+    )
+    first_of = lambda tag: F.get(  # noqa: E731
+        F.transform(
+            F.filter(F.col("nodes"), lambda n: n["tag_class"] == tag),
+            lambda n: n["text"],
+        ),
+        0,
+    )
+    return df.select(
+        "url",
+        "doc_id",
+        "engine",
+        clean_text(raw_text).alias("text"),
+        F.coalesce(first_of("title"), first_of("h1")).alias("title"),
+        F.size(F.filter(F.col("nodes"), lambda n: n["node_id"] >= 0)).alias(
+            "n_nodes"
+        ),
+        F.size(F.filter(F.col("content_flags"), lambda c: c)).alias(
+            "n_content_nodes"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # formulation 2: window lag/lead + groupBy (parity reference, SURVEY §2.5)
 # ---------------------------------------------------------------------------
 

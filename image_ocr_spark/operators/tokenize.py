@@ -115,10 +115,87 @@ def _tokenize_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
 
 
 def tokenize(pages: DataFrame) -> DataFrame:
-    """pages(url, html[, doc_id], ...) -> nodes (NODE_SCHEMA).
+    """pages(url, html[, doc_id], ...) -> nodes (NODE_SCHEMA), row per node.
 
     Column-prunes the input to exactly what the tokenizer needs BEFORE the
     Arrow boundary so no unused columns cross into Python.
     """
     cols = ["url", "html"] + (["doc_id"] if "doc_id" in pages.columns else [])
     return pages.select(*cols).mapInArrow(_tokenize_arrow, NODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# packed variant: one row per DOCUMENT with the node array inline.
+# A document's nodes never leave their producing task, so the downstream
+# rollup needs NO shuffle at all — the whole extraction becomes per-row
+# expressions after the single salted repartition.  The flat node view is
+# recoverable via explode for node-level operators.
+# ---------------------------------------------------------------------------
+
+_NODE_STRUCT = pa.struct(
+    [
+        pa.field("node_id", pa.int32()),
+        pa.field("tag_class", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("n_chars", pa.int32()),
+        pa.field("n_link_chars", pa.int32()),
+        pa.field("n_words", pa.int32()),
+    ]
+)
+
+_PACKED_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("doc_id", pa.int64()),
+        pa.field("engine", pa.string()),
+        pa.field("nodes", pa.list_(_NODE_STRUCT)),
+    ]
+)
+
+PACKED_DDL = (
+    "url string, doc_id long, engine string, "
+    "nodes array<struct<node_id:int, tag_class:string, text:string, "
+    "n_chars:int, n_link_chars:int, n_words:int>>"
+)
+
+
+def _tokenize_packed(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        names = batch.schema.names
+        urls = batch.column(names.index("url")).to_pylist()
+        htmls = batch.column(names.index("html")).to_pylist()
+        if "doc_id" in names:
+            doc_ids = batch.column(names.index("doc_id")).to_pylist()
+        else:
+            doc_ids = [None] * len(urls)
+        engines: list = []
+        node_lists: list = []
+        for raw in htmls:
+            if raw is None:
+                engines.append("html")
+                node_lists.append([_SENTINEL])
+                continue
+            try:
+                if is_pdf(raw):
+                    engine, nodes = "pdf", tokenize_pdf(raw)
+                else:
+                    engine, nodes = "html", tokenize_html(raw)
+            except Exception:
+                engine, nodes = "error", []
+            engines.append(engine)
+            node_lists.append(nodes or [_SENTINEL])
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(doc_ids, pa.int64()),
+                pa.array(engines, pa.string()),
+                pa.array(node_lists, pa.list_(_NODE_STRUCT)),
+            ],
+            schema=_PACKED_SCHEMA,
+        )
+
+
+def tokenize_packed(pages: DataFrame) -> DataFrame:
+    """pages -> one row per document: (url, doc_id, engine, nodes array)."""
+    cols = ["url", "html"] + (["doc_id"] if "doc_id" in pages.columns else [])
+    return pages.select(*cols).mapInArrow(_tokenize_packed, PACKED_DDL)

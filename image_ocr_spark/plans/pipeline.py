@@ -19,8 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.classify import classify_df
-from ..operators.blocks import extract_text
-from ..operators.tokenize import tokenize
+from ..operators.blocks import extract_text_packed
+from ..operators.tokenize import tokenize_packed
 
 
 def salt_repartition(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -44,6 +44,6 @@ def extract_pages(pages: DataFrame, num_partitions: int | None = None) -> DataFr
     never-raise semantics (ref pipeline.py:251-271).
     """
     pages = salt_repartition(pages, num_partitions)
-    nodes = tokenize(pages)
-    per_url = extract_text(nodes)  # sentinel nodes keep empty pages present
+    packed = tokenize_packed(pages)  # one row per document, nodes inline
+    per_url = extract_text_packed(packed)  # per-row exprs, NO shuffle
     return classify_df(per_url, "text")

@@ -79,3 +79,18 @@ def test_classifier_stays_codegen(spark):
     )
     plan = _formatted(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_packed_pipeline_zero_rollup_shuffles(spark, pages_path):
+    """The production (packed) pipeline has exactly ONE exchange total —
+    the salted repartition; tokenize + content selection + classify are
+    per-row from there."""
+    import re
+
+    from image_ocr_spark.plans.pipeline import extract_pages
+
+    pages = spark.read.parquet(pages_path)
+    plan = _formatted(extract_pages(pages, 8))
+    ops = re.findall(r"^\((\d+)\) (\w+)", plan, re.M)
+    assert sum(1 for _, op in ops if op == "Exchange") == 1, ops
+    assert not any(op in ("Sort", "Window") for _, op in ops), ops
