@@ -652,15 +652,6 @@ _PAGE_CTE = (
     .replace("{FMT_TOTAL}", _fmt("iv.sub + iv.sub // 10"))
 )
 
-def _fmt(expr: str) -> str:
-    """Inline thousands-separator formatting (mirrors gen_pages._comma);
-    inlined rather than a macro so the oracle stays a single statement."""
-    return (
-        f"CASE WHEN ({expr}) >= 1000 THEN "
-        f"printf('%d,%03d', ({expr}) // 1000, ({expr}) % 1000) "
-        f"ELSE printf('%d', ({expr})) END"
-    )
-
 # ---------------------------------------------------------------------------
 # DuckDB fragments for the dedup/similarity oracles (shared 32-bit md5-prefix
 # hash; minhash permutation constants from image_ocr_spark.operators.dedup)
@@ -900,12 +891,17 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS representative_id
             FROM documents GROUP BY 1
         """,
+        # NOTE: DuckDB sum(BIGINT) widens to HUGEINT (-> float64 through
+        # pandas, breaking the driver's dtype-sensitive value hash); every
+        # aggregate is cast back to BIGINT to match Spark's int64 output.
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+                     AS sum_price_cents,
                    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_e4,
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT))::BIGINT
+                     AS sum_disc_price_e4,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
@@ -913,7 +909,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "region_customers": """
             SELECT r.r_name AS region_name, count(*) AS n_customers,
-                   sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+                   sum(CAST(round(c.c_acctbal * 100) AS BIGINT))::BIGINT
+                     AS acctbal_cents
             FROM customer c
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -977,7 +974,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_fingerprints": f"""
             WITH th AS (SELECT doc_id, {_SQL_TH} AS th FROM documents)
-            SELECT doc_id, {_SQL_SIMHASH_EXPR} AS simhash FROM th
+            SELECT doc_id, ({_SQL_SIMHASH_EXPR})::BIGINT AS simhash FROM th
         """,
         "dedup_simhash": (
             "WITH "

@@ -124,6 +124,20 @@ def normalize_date(col: Column) -> Column:
     return F.coalesce(western, era, compact)
 
 
+# Characters Python's str.strip() removes that can still be present when the
+# final strip runs (controls \x00-\x1f except \t\n are already gone, \r has
+# become \n): ASCII space/tab/newline plus the Unicode space set.  F.trim
+# strips only ASCII spaces, so the final strip is an explicit regex class to
+# stay bit-identical with pycore.normalize.clean_text's .strip().
+_PY_STRIP_CLASS = (
+    "[ \t\n"
+    + "".join(chr(c) for c in (0x85, 0xA0, 0x1680))
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "".join(chr(c) for c in (0x2028, 0x2029, 0x202F, 0x205F, 0x3000))
+    + "]+"
+)
+
+
 def clean_text(col: Column) -> Column:
     """F11: the byte-identity canonicalization (ref normalizer.py:294-319).
 
@@ -135,7 +149,7 @@ def clean_text(col: Column) -> Column:
     c = F.regexp_replace(c, "[ \t]+", " ")
     c = F.regexp_replace(c, "\n{3,}", "\n\n")
     c = F.regexp_replace(c, "(?m)^[ \t]+|[ \t]+$", "")
-    return F.trim(c)
+    return F.regexp_replace(c, f"^{_PY_STRIP_CLASS}|{_PY_STRIP_CLASS}$", "")
 
 
 def fix_company_name(col: Column) -> Column:

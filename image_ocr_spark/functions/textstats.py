@@ -82,9 +82,12 @@ def quality_columns(text: Column) -> List[Column]:
     n_upper = F.length(text) - F.length(
         F.regexp_replace(text, "[A-Z]", "")
     )
+    # stay integer-exact end to end: stop_ratio_milli is non-negative, so
+    # floor(x/10) == the DuckDB oracle's integer '//' — a double division
+    # truncated toward zero would diverge when the composite goes negative
     score = (
         F.least(n_tokens.cast("long"), F.lit(400).cast("long"))
-        + stop_ratio_milli / 10
+        + F.floor(stop_ratio_milli / 10).cast("long")
         - F.least(n_punct.cast("long") * 5, F.lit(200).cast("long"))
     ).cast("long")
     return [

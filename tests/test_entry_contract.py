@@ -57,6 +57,25 @@ def test_every_query_has_oracle():
     )
 
 
+# Spark simpleString type -> the Arrow type DuckDB must produce for the
+# driver's pandas value-hash to match (r01 lesson: DuckDB widens sums to
+# HUGEINT -> float64 through pandas, hash-red even with equal values)
+_SPARK_TO_ARROW = {
+    "bigint": "int64",
+    "int": "int32",
+    "smallint": "int16",
+    "string": "string",
+    "boolean": "bool",
+    "double": "double",
+    "float": "float",
+}
+
+
+def _arrow_name(t) -> str:
+    s = str(t)
+    return {"large_string": "string", "utf8": "string", "large_utf8": "string"}.get(s, s)
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]
@@ -67,10 +86,17 @@ def test_query_matches_oracle(spark, duck, name):
     if sql is None:
         assert len(srows) >= 0
         return
-    res = duck.execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    atab = duck.execute(sql).arrow()
+    dcols = atab.column_names
+    drows = [tuple(d[c] for c in dcols) for d in atab.to_pylist()]
     assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
+    # dtype-strict: the driver hashes pandas values, so 6.0 != 6
+    for f in sdf.schema.fields:
+        want = _SPARK_TO_ARROW.get(f.dataType.simpleString())
+        if want is None:
+            continue  # arrays/structs handled by the value comparison
+        got = _arrow_name(atab.schema.field(f.name).type)
+        assert got == want, f"{name}.{f.name}: oracle dtype {got}, spark {want}"
     assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
     assert _rowset(scols, srows) == _rowset(dcols, drows), f"{name}: value mismatch"
 

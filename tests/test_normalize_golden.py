@@ -52,6 +52,13 @@ CLEAN_CASES = [
     ("a\r\nb\rc", "a\nb\nc"),
     ("\t tabbed \t text \t", "tabbed text"),
     ("", ""),
+    # boundary-newline strips (ADVICE r01: F.trim left '\n' behind; the
+    # final strip must match Python str.strip(), not ASCII-space trim)
+    (" \t \n\n\n\n tail \t", "tail"),
+    ("\n\nhead", "head"),
+    ("　全角　", "全角"),
+    ("\xa0nbsp\xa0", "nbsp"),
+    (" \t \n\n", ""),
 ]
 
 COMPANY_CASES = [
@@ -145,3 +152,19 @@ def test_spark_py_agree_on_fuzz(spark):
         assert row.d == pn.normalize_date(s), s
         assert row.a == pn.normalize_amount(s), s
         assert row.o == pn.normalize_amount_ocr(s), s
+
+
+def test_quality_score_negative_integer_exact(spark):
+    """ADVICE r01: the /10 term must floor like the DuckDB oracle's '//';
+    double-division + cast('long') truncates toward zero and diverges on
+    negative composites (3 tokens, 1 stopword, 44 puncts -> -164, not -163)."""
+    from image_ocr_spark.functions.textstats import quality_columns
+
+    text = "the " + ";" * 44 + " x"
+    df = spark.createDataFrame([(text,)], ["t"])
+    row = df.select(*quality_columns(F.col("t"))).collect()[0]
+    assert row["n_tokens"] == 3
+    assert row["stopword_ratio_milli"] == 333
+    assert row["n_punct"] == 44
+    # 3 (length term) + 333//10 (=33) - 200 (punct cap) = -164
+    assert row["quality_score"] == -164
