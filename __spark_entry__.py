@@ -145,16 +145,23 @@ def q_invoice_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media -> Arrow-batched feature extraction
-    (decode stubbed — deterministic byte-histogram fake; see
-    operators/multimodal.py).  Rows-only driver check: float features are
-    not SQL-reproducible, but tests/test_scale_mechanics.py verifies them
-    against the single-process implementation."""
+    (decode stubbed — deterministic byte-histogram fake in integer
+    micro-units; see operators/multimodal.py).  Scalar rows
+    (media_id, dim, value_micro) so the driver canonicalizer never sees an
+    array column; the oracle reconstructs content = sha2('media'||id) in
+    DuckDB and recomputes the histogram arithmetically."""
     from image_ocr_spark.operators.multimodal import (
         extract_media_features,
         synth_media,
     )
 
-    return extract_media_features(synth_media(_docs(spark, sf_dir)))
+    feats = extract_media_features(synth_media(_docs(spark, sf_dir)))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.posexplode("feature_micro").alias("dim", "value_micro"),
+    )
 
 
 def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,8 +436,9 @@ def q_span_right_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_label_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled spans (date/amount/phone) with character offsets over the
     canonical extracted text — pure Spark SQL (regexp_extract_all + a
-    cumulative locate fold).  Rows-only driver check; tests prove the SQL
-    path == Arrow path == pycore oracle across the corpus."""
+    cumulative locate fold).  Oracle: DuckDB recomputes every span offset
+    with regexp_split_to_array prefix-length arithmetic (exact finditer
+    semantics); tests additionally prove SQL path == Arrow path == pycore."""
     from image_ocr_spark.operators.spans import label_spans_sql
 
     return label_spans_sql(_extracted(spark, sf_dir))
@@ -547,8 +555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # queries with no SQL-expressible oracle (driver records rows-only check);
-# each is verified against a single-process implementation in tests/
-ROWS_ONLY_QUERIES = {"media_features", "label_spans"}
+# empty since r02 — every registered query now has a DuckDB value oracle
+ROWS_ONLY_QUERIES: set = set()
 
 
 # ---------------------------------------------------------------------------
@@ -726,6 +734,43 @@ def _sql_dot(a: str, b: str) -> str:
 
 def _sql_cosine(a: str, b: str) -> str:
     return f"({_sql_dot(a, b)} / sqrt({_sql_dot(a, a)} * {_sql_dot(b, b)}))"
+
+
+_SQL_URL = (
+    "'https://' || CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' "
+    "ELSE 'h' || (doc_id % 97)::VARCHAR || '.example.net' END "
+    "|| '/p/' || doc_id::VARCHAR"
+)
+
+
+def _sql_label_spans() -> str:
+    """Generic span oracle: for each pattern, offsets recovered from
+    regexp_split_to_array prefix lengths — start(i) = len(segs[1..i]) +
+    len(matches[1..i-1]), exactly re.finditer's non-overlapping L->R scan."""
+    from image_ocr_spark.pycore.extractor import SPAN_PATTERNS
+
+    per = []
+    for label, pat in SPAN_PATTERNS:
+        p = pat.replace("'", "''")
+        per.append(f"""
+  SELECT url, unnest([
+      struct_pack(
+        start := (coalesce(list_sum([length(x) for x in list_slice(segs, 1, i)]), 0)
+                  + coalesce(list_sum([length(x) for x in list_slice(ms, 1, i - 1)]), 0))::INT,
+        label := '{label}',
+        value := ms[i])
+      for i in range(1, len(ms) + 1)], recursive := true)
+  FROM (SELECT url, regexp_extract_all(text, '{p}') AS ms,
+               regexp_split_to_array(text, '{p}') AS segs FROM up)""")
+    union = " UNION ALL ".join(per)
+    return (
+        _PAGE_CTE
+        + f""",
+  up AS (SELECT {_SQL_URL} AS url, text FROM pages),
+  sp AS ({union})
+  SELECT url, start, (start + length(value))::INT AS "end", label, value FROM sp
+"""
+    )
 
 
 def _sql_lang_id() -> str:
@@ -1037,6 +1082,29 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             WHERE rank <= 5
         """,
+        "media_features": """
+            WITH s AS (
+              SELECT doc_id,
+                     substr(repeat(sha256('media' || doc_id::VARCHAR), 5), 1, 256)
+                       AS blob
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     length(blob) - length(regexp_replace(blob, '[0-9]', '', 'g'))
+                       AS n_digit
+              FROM s
+            )
+            SELECT doc_id AS media_id,
+              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS media_type,
+              256 AS n_bytes,
+              d.dim::INT AS dim,
+              (CASE d.dim WHEN 1 THEN (1000000 * n_digit) // 256
+                          WHEN 3 THEN (1000000 * (256 - n_digit)) // 256
+                          ELSE 0 END)::BIGINT AS value_micro
+            FROM c, (SELECT unnest(range(0, 8)) AS dim) d
+        """,
+        "label_spans": _sql_label_spans(),
         "lang_id": _sql_lang_id(),
         "text_quality": """
             WITH b AS (SELECT doc_id, coalesce(text, '') AS t,

@@ -36,7 +36,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("media_type", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), False),
-        T.StructField("feature", T.ArrayType(T.FloatType(), False), False),
+        T.StructField("feature_micro", T.ArrayType(T.LongType(), False), False),
     ]
 )
 
@@ -58,16 +58,19 @@ def decode_image(raw: bytes):
     return img.width, img.height, img.tobytes()
 
 
-def byte_histogram_features(raw: bytes, dim: int = FEATURE_DIM) -> List[float]:
-    """DETERMINISTIC FAKE feature: normalized byte histogram over `dim`
-    equal-width byte-value bins.  Stands in for a decoder+embedder; the
-    Spark plumbing around it (Arrow batches, schema, partitioning) is real.
+def byte_histogram_features(raw: bytes, dim: int = FEATURE_DIM) -> List[int]:
+    """DETERMINISTIC FAKE feature: byte histogram over `dim` equal-width
+    byte-value bins, normalized to integer micro-units (floor(1e6*c/total))
+    so the value is bit-identical across Python, Spark, and the DuckDB
+    oracle — no float rounding-mode hazards.  Stands in for a
+    decoder+embedder; the Spark plumbing around it (Arrow batches, schema,
+    partitioning) is real.
     """
     counts = [0] * dim
     for byte in raw:
         counts[byte * dim // 256] += 1
     total = max(1, len(raw))
-    return [round(c / total, 6) for c in counts]
+    return [(1_000_000 * c) // total for c in counts]
 
 
 def _featurize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -76,7 +79,7 @@ def _featurize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             pa.field("media_id", pa.int64()),
             pa.field("media_type", pa.string()),
             pa.field("n_bytes", pa.int32()),
-            pa.field("feature", pa.list_(pa.float32())),
+            pa.field("feature_micro", pa.list_(pa.int64())),
         ]
     )
     for batch in batches:
@@ -89,7 +92,7 @@ def _featurize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 pa.array(ids, pa.int64()),
                 pa.array(kinds, pa.string()),
                 pa.array([len(b or b"") for b in blobs], pa.int32()),
-                pa.array(feats, pa.list_(pa.float32())),
+                pa.array(feats, pa.list_(pa.int64())),
             ],
             schema=schema,
         )

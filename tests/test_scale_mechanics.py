@@ -89,7 +89,7 @@ def test_multimodal_feature_plumbing(spark, documents):
     for mid, row in by_id.items():
         assert row.n_bytes == len(raw[mid])
         expected = byte_histogram_features(raw[mid])
-        assert [round(float(x), 6) for x in row.feature] == expected
+        assert list(row.feature_micro) == expected
     assert {r.media_type for r in feats} == {"image", "audio", "video"}
 
 
