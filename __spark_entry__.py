@@ -670,6 +670,9 @@ from image_ocr_spark.operators.dedup import (  # noqa: E402
     PERM_A,
     PERM_B,
     DEFAULT_NUM_PERM,
+    DEFAULT_SHINGLE_MAX_DF,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
 )
 
 _SQL_CORPUS = """
@@ -711,14 +714,16 @@ def _sql_bands_cte(bands: int = 4, rows: int = 4) -> str:
     return "bands AS (" + " UNION ALL ".join(selects) + ")"
 
 
-_SQL_SIMHASH_EXPR = """
+_SQL_SIMHASH_EXPR = f"""
 list_sum([CASE WHEN list_sum([((h >> b) & 1) * 2 - 1 for h in th]) > 0
                THEN (1::BIGINT << b) ELSE 0::BIGINT END
-          for b in range(0, 32)])"""
+          for b in range(0, {SIMHASH_BITS})])"""
 
+# 15 hex chars = 60 bits: the widest md5 prefix representable as a signed
+# BIGINT in both engines (16 chars overflows DuckDB's '0x..'::BIGINT)
 _SQL_TH = (
     "list_transform(string_split(coalesce(text, ''), ' '), "
-    "t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+    "t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
 )
 
 
@@ -1007,14 +1012,22 @@ def oracle_sql() -> dict[str, str]:
             + _SQL_CORPUS
             + ", "
             + _sql_shingles("corpus")
-            + """,
-            ex AS (SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS h FROM sh)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   (1000 * count(*)) // (any_value(a.n_sh) + any_value(b.n_sh) - count(*))
-                     AS jaccard_milli
-            FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-            HAVING (1000 * count(*)) // (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 500
+            + f""",
+            ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+            rare AS (SELECT h FROM ex GROUP BY h
+                     HAVING count(*) <= {DEFAULT_SHINGLE_MAX_DF}),
+            exr AS (SELECT ex.doc_id, ex.h FROM ex JOIN rare USING (h)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM exr a JOIN exr b
+                       ON a.h = b.h AND a.doc_id < b.doc_id),
+            sc AS (SELECT cand.id_a, cand.id_b,
+                          len(list_intersect(sa.hs, sb.hs)) AS inter,
+                          len(sa.hs) + len(sb.hs)
+                            - len(list_intersect(sa.hs, sb.hs)) AS un
+                   FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+                             JOIN sh sb ON sb.doc_id = cand.id_b)
+            SELECT id_a, id_b, (1000 * inter) // un AS jaccard_milli
+            FROM sc WHERE (1000 * inter) // un >= 500
             """
         ),
         "simhash_fingerprints": f"""
@@ -1026,11 +1039,13 @@ def oracle_sql() -> dict[str, str]:
             + _SQL_CORPUS
             + f""",
             th AS (SELECT doc_id, {_SQL_TH} AS th FROM corpus),
-            fps AS (SELECT doc_id, {_SQL_SIMHASH_EXPR} AS fp FROM th),
+            fps AS (SELECT doc_id, ({_SQL_SIMHASH_EXPR})::BIGINT AS fp FROM th),
             ch AS ("""
             + " UNION ALL ".join(
-                f"SELECT doc_id, fp, {c} AS chunk, (fp >> {c * 8}) & 255 AS ckey FROM fps"
-                for c in range(4)
+                f"SELECT doc_id, fp, {c} AS chunk, "
+                f"(fp >> {c * (SIMHASH_BITS // SIMHASH_CHUNKS)}) "
+                f"& {(1 << (SIMHASH_BITS // SIMHASH_CHUNKS)) - 1} AS ckey FROM fps"
+                for c in range(SIMHASH_CHUNKS)
             )
             + """),
             cand AS (

@@ -36,12 +36,27 @@ PERM_B = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 
 DEFAULT_NUM_PERM = 16
 DEFAULT_BANDS = 4  # 4 bands x 4 rows
 DEFAULT_SHINGLE_N = 3
-SIMHASH_BITS = 32
+
+# SimHash width: 60 bits, not 64 — 15 hex chars of md5 stay inside SIGNED
+# 64-bit range in BOTH engines (Spark long and DuckDB ('0x'||hex)::BIGINT
+# overflow/flip sign at 16 hex chars), so fingerprints, shifts and xor are
+# bit-identical across engines with zero sign gymnastics.  4 chunks of 15
+# bits = 32,768 buckets per chunk: at corpus scale each candidate bucket
+# holds ~N/32768 docs (vs N/256 with the old 32-bit/8-bit scheme, whose
+# candidate join went near-quadratic).
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
 
 
 def hash32(col: Column) -> Column:
     """Deterministic 32-bit string hash shared with the DuckDB oracle."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hash60(col: Column) -> Column:
+    """60-bit md5-prefix hash (15 hex chars) — widest md5 prefix that is
+    representable as a signed BIGINT in both Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def tokens_col(text: Column) -> Column:
@@ -99,7 +114,7 @@ def simhash_from_hashes(toks_h: Column, bits: int = SIMHASH_BITS) -> Column:
 def with_simhash(df: DataFrame, text_col: str = "text",
                  out_col: str = "fp", bits: int = SIMHASH_BITS) -> DataFrame:
     """Append a SimHash fingerprint column (token hashes materialized once)."""
-    toks_h = F.transform(tokens_col(F.coalesce(F.col(text_col), F.lit(""))), hash32)
+    toks_h = F.transform(tokens_col(F.coalesce(F.col(text_col), F.lit(""))), hash60)
     return (
         df.withColumn("_toks_h", toks_h)
         .withColumn(out_col, simhash_from_hashes(F.col("_toks_h"), bits))
@@ -169,40 +184,60 @@ def minhash_lsh_pairs(
     )
 
 
+DEFAULT_SHINGLE_MAX_DF = 64
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = DEFAULT_SHINGLE_N,
     threshold_milli: int = 500,
+    max_df: int = DEFAULT_SHINGLE_MAX_DF,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
+    """Exact n-gram Jaccard over candidate pairs sharing >=1 RARE shingle.
 
-    |A ∩ B| via equi-join on shingle hash; |A ∪ B| = |A| + |B| - |∩|;
-    output jaccard in exact integer milli-units.
+    Scale-critical shape: candidate generation equi-joins only shingle
+    hashes whose document frequency is <= max_df — a boilerplate shingle
+    ("of the and") appearing in millions of docs would otherwise create one
+    hot key with a near-quadratic bucket.  Capping df bounds every bucket's
+    pair fan-out at max_df^2; a true near-dup pair (jaccard >= 0.5) shares
+    half its shingles, so it survives unless EVERY shared shingle is
+    corpus-common — the standard df-cap trade-off, mirrored exactly in the
+    DuckDB oracle.
+
+    The Jaccard value itself stays EXACT: after the capped candidate join,
+    each pair's full shingle arrays are re-joined and intersected
+    (array_intersect), so max_df affects recall only, never the score.
     """
     sh = docs.select(
         F.col(id_col).alias("id"),
         shingle_hashes_col(F.coalesce(F.col(text_col), F.lit("")), n).alias("hs"),
-    ).withColumn("n_sh", F.size("hs"))
-    exploded = sh.select("id", "n_sh", F.explode("hs").alias("h"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = (F.lit(1000) * F.col("inter")) / (F.col("na") + F.col("nb") - F.col("inter"))
+    exploded = sh.select("id", F.explode("hs").alias("h"))
+    rare = (
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    rare_ex = exploded.join(rare, "h")  # shuffle on h (same key as the groupBy)
+    a = rare_ex.alias("a")
+    b = rare_ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    paired = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    jac = (F.lit(1000) * inter) / union
     return (
-        inter.select(
-            "id_a", "id_b", jac.cast("long").alias("jaccard_milli")
-        ).filter(F.col("jaccard_milli") >= threshold_milli)
+        paired.select("id_a", "id_b", jac.cast("long").alias("jaccard_milli"))
+        .filter(F.col("jaccard_milli") >= threshold_milli)
     )
 
 
@@ -211,11 +246,13 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int = SIMHASH_CHUNKS,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share at least one of `chunks`
     fingerprint chunks (pigeonhole: hamming <= chunks-1 guarantees a shared
-    chunk), verified by exact popcount distance."""
+    chunk), verified by exact popcount distance.  With 60-bit fingerprints
+    each chunk key spans 2^15 buckets, keeping per-bucket candidate counts
+    ~N/32768 at corpus scale."""
     bits_per = SIMHASH_BITS // chunks
     fp = with_simhash(
         docs.select(F.col(id_col).alias("id"), F.col(text_col)), text_col

@@ -1,0 +1,90 @@
+"""Scale-shape guarantees for the dedup operators (VERDICT r01 items 4/5):
+SimHash bucket key-space is 2^15 per chunk, and n-gram Jaccard candidate
+generation is bounded on adversarial common-shingle corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_ocr_spark.operators.dedup import (
+    DEFAULT_SHINGLE_MAX_DF,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    ngram_jaccard_pairs,
+    simhash_hamming_pairs,
+    with_simhash,
+)
+
+
+def test_simhash_width_and_chunk_keyspace(spark):
+    """60-bit fingerprints, 4 chunks of 15 bits: every chunk key must fall
+    in [0, 2^15) and fingerprints must use bits above the old 32-bit width
+    (the r01 scheme had only 256 buckets per chunk — quadratic candidates)."""
+    assert SIMHASH_BITS == 60 and SIMHASH_CHUNKS == 4
+    bits_per = SIMHASH_BITS // SIMHASH_CHUNKS
+    assert 1 << bits_per == 32768
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon zeta eta theta {i}")
+         for i in range(64)],
+        "doc_id long, text string",
+    )
+    fp = with_simhash(docs).select("fp").collect()
+    fps = [r.fp for r in fp]
+    assert all(0 <= v < (1 << SIMHASH_BITS) for v in fps)
+    # the widened bits are actually populated (some fp exceeds 32-bit range)
+    assert any(v >= (1 << 32) for v in fps)
+    # chunk keys stay inside the 15-bit bucket space
+    for c in range(SIMHASH_CHUNKS):
+        keys = [(v >> (c * bits_per)) & ((1 << bits_per) - 1) for v in fps]
+        assert all(0 <= k < 32768 for k in keys)
+
+
+def test_simhash_near_dup_still_found(spark):
+    """Pigeonhole recall sanity after the widening: identical docs pair."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "the quick brown fox jumps over the lazy dog tonight"),
+         (3, "completely different words entirely unrelated content here now")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_hamming_pairs(docs).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_df_cap_bounds_candidates(spark):
+    """Adversarial corpus: every doc shares one boilerplate sentence (a hot
+    shingle with df == N).  With the df cap the hot shingles generate NO
+    candidate pairs — only genuinely-similar docs (sharing rare shingles)
+    come back, and their Jaccard stays exact."""
+    n = 40
+    boiler = "all rights reserved terms of service privacy policy apply"
+    rows = [(i, f"unique{i} body{i} text{i} words{i} " + boiler) for i in range(n)]
+    # one true near-dup pair sharing rare shingles
+    rows.append((1000, "unique7 body7 text7 words7 " + boiler + " extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = ngram_jaccard_pairs(docs, max_df=4, threshold_milli=300).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    # the boilerplate-only overlaps (every (i, j) pair!) must NOT appear
+    assert got == {(7, 1000)}
+
+    # without the cap the same corpus yields O(N^2) candidate pairs at the
+    # join - prove the cap is what bounds it by counting candidate rows
+    uncapped = ngram_jaccard_pairs(docs, max_df=10_000, threshold_milli=0)
+    capped = ngram_jaccard_pairs(docs, max_df=4, threshold_milli=0)
+    assert uncapped.count() == (n + 1) * n // 2  # every pair is a candidate
+    assert capped.count() == 1
+
+
+def test_ngram_jaccard_value_exact_despite_cap(spark):
+    """The df cap prunes candidates only: surviving pairs score with FULL
+    shingle sets (array_intersect on the uncapped arrays)."""
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    b = "w1 w2 w3 w4 w5 w6 w7 zz"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    row = ngram_jaccard_pairs(docs, threshold_milli=0).collect()[0]
+    # trigrams: 6 each, 5 shared -> union 7 -> 5000/7 = 714 milli
+    assert (row.id_a, row.id_b, row.jaccard_milli) == (1, 2, 714)
