@@ -389,11 +389,16 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned cosine top-5 (first-8-vector centroids) for 16 queries."""
+    """IVF top-5 for 16 queries: centroids trained with 2 deterministic
+    Lloyd iterations (integer-exact means), search probes the 2 nearest
+    cells (nprobe=2).  The DuckDB oracle replays the identical training."""
     from image_ocr_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 16), k=5, num_centroids=8)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 16),
+        k=5, num_centroids=8, iters=2, nprobe=2,
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,6 +783,83 @@ def _sql_label_spans() -> str:
     )
 
 
+def _sql_kmeans_ivf(
+    k: int = 5,
+    num_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    nq: int = 16,
+) -> str:
+    """DuckDB replay of operators/similarity.kmeans_centroids + ivf_topk:
+    same init (first-C ids), same integer deci-micro centroid sums (order-
+    independent => bit-identical), same tiebreaks."""
+    from image_ocr_spark.operators.similarity import CENT_SCALE
+
+    def assign(cents: str) -> str:
+        return f"""(
+          SELECT vid, v, cid AS cell FROM (
+            SELECT e.vec_id AS vid, e.embedding AS v, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_sql_cosine('e.embedding', 'c.centv')} DESC,
+                              c.cid ASC) AS rn
+            FROM embeddings e, {cents} c)
+          WHERE rn = 1)"""
+
+    def update(assigned: str) -> str:
+        return f"""(
+          SELECT cell AS cid,
+                 list(s::DOUBLE / (n * {CENT_SCALE})::DOUBLE ORDER BY dim) AS centv
+          FROM (
+            SELECT cell, dim, sum(sv)::BIGINT AS s, count(*) AS n FROM (
+              SELECT cell,
+                     unnest([struct_pack(dim := i - 1,
+                               sv := round(v[i]::DOUBLE * {CENT_SCALE})::BIGINT)
+                             for i in range(1, len(v) + 1)], recursive := true)
+              FROM {assigned})
+            GROUP BY cell, dim)
+          GROUP BY cell)"""
+
+    ctes = [
+        f"cents0 AS (SELECT vec_id AS cid, "
+        f"list_transform(embedding, x -> x::DOUBLE) AS centv "
+        f"FROM embeddings WHERE vec_id < {num_centroids})"
+    ]
+    prev = "cents0"
+    for i in range(iters):
+        ctes.append(f"a{i} AS {assign(prev)}")
+        ctes.append(f"cents{i + 1} AS {update(f'a{i}')}")
+        prev = f"cents{i + 1}"
+    ctes.append(f"af AS {assign(prev)}")
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, embedding AS qv "
+        f"FROM embeddings WHERE vec_id < {nq})"
+    )
+    ctes.append(f"""probes AS (
+      SELECT query_id, qv, cid AS pcell FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_cosine('q.qv', 'c.centv')} DESC, c.cid ASC) AS pr
+        FROM q, {prev} c)
+      WHERE pr <= {nprobe})""")
+    ctes.append(f"""s AS (
+      SELECT p.query_id, a.vid AS neighbor_id,
+             {_sql_cosine('p.qv', 'a.v')} AS sim
+      FROM probes p JOIN af a ON p.pcell = a.cell)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM s)
+        WHERE rank <= {k}"""
+    )
+
+
 def _sql_lang_id() -> str:
     """hits_<lang> counts + priority-tiebreak argmax guess (mirrors
     image_ocr_spark.functions.textstats.lang_id_columns)."""
@@ -1073,30 +1155,7 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             WHERE rank <= 10
         """,
-        "knn_ivf": f"""
-            WITH cents AS (SELECT vec_id AS centroid_id, embedding AS centv
-                           FROM embeddings WHERE vec_id < 8),
-                 assign AS (
-                   SELECT vid, centroid_id AS cell, v FROM (
-                     SELECT e.vec_id AS vid, e.embedding AS v, c.centroid_id,
-                            row_number() OVER (
-                              PARTITION BY e.vec_id
-                              ORDER BY {_sql_cosine('e.embedding', 'c.centv')} DESC,
-                                       c.centroid_id ASC) AS rn
-                     FROM embeddings e, cents c)
-                   WHERE rn = 1),
-                 q AS (SELECT vid AS query_id, v AS qv, cell AS qcell
-                       FROM assign WHERE vid < 16),
-                 s AS (SELECT q.query_id, a.vid AS neighbor_id,
-                              {_sql_cosine('q.qv', 'a.v')} AS sim
-                       FROM q JOIN assign a ON q.qcell = a.cell)
-            SELECT query_id, neighbor_id, rank FROM (
-              SELECT query_id, neighbor_id,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
-              FROM s)
-            WHERE rank <= 5
-        """,
+        "knn_ivf": _sql_kmeans_ivf(k=5, num_centroids=8, iters=2, nprobe=2, nq=16),
         "media_features": """
             WITH s AS (
               SELECT doc_id,
