@@ -428,7 +428,7 @@ def q_span_right_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     kw = (
         toks.filter(F.col("tok").contains("spark"))
         .groupBy("doc_id")
-        .agg(F.min("pos").alias("kpos"))
+        .agg(F.min("pos").cast("long").alias("kpos"))
     )
     cand = kw.join(toks, "doc_id").filter(
         (F.col("pos") > F.col("kpos")) & (F.col("pos") - F.col("kpos") <= 3)
@@ -512,6 +512,83 @@ def q_classify_reasoning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "doc_type", reasoning.alias("reasoning"))
 
 
+def q_receipt_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 TaxDetails (ref extractors/receipt.py:28-34,402-419): 8%/10%
+    taxable bases + subtotal per receipt (VERDICT r01 missing #1)."""
+    from image_ocr_spark.functions.extract_fields import extract_receipt_fields_df
+
+    receipts = _extracted(spark, sf_dir).filter(F.col("doc_type") == "receipt")
+    out = extract_receipt_fields_df(receipts, keys=("doc_id",))
+    return out.select("doc_id", "tax_rate_8", "tax_rate_10", "subtotal")
+
+
+def _warning_variants_receipt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic degraded receipts: doc_id%4 picks which field is
+    missing, so every receipt_warnings branch fires somewhere."""
+    k = F.col("doc_id") % 4
+    full = F.concat_ws(
+        "\n", F.lit("スーパーX"), F.lit("2024年1月2日"), F.lit("合計 ¥500"), F.lit("現金")
+    )
+    nodate = F.concat_ws("\n", F.lit("スーパーX"), F.lit("合計 ¥500"))
+    nototal = F.concat_ws("\n", F.lit("スーパーX"), F.lit("2024年1月2日"))
+    text = (
+        F.when(k == 0, full)
+        .when(k == 1, nodate)
+        .when(k == 2, nototal)
+        .otherwise(F.lit(""))
+    )
+    return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+
+
+def q_receipt_warnings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warnings as first-class output (ref receipt.py:456-482; VERDICT r01
+    missing #2), exploded to scalar rows for the driver canonicalizer."""
+    from image_ocr_spark.functions.extract_fields import extract_receipt_fields_df
+
+    out = extract_receipt_fields_df(
+        _warning_variants_receipt(spark, sf_dir), keys=("doc_id",)
+    )
+    return out.select(
+        "doc_id", F.posexplode("warnings").alias("warn_seq", "warning")
+    )
+
+
+def q_invoice_warnings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invoice warnings (ref invoice.py:477-503): degraded variants per
+    doc_id%4 — missing 請求日 / missing 振込先 / bank without account no."""
+    from image_ocr_spark.functions.extract_fields import extract_invoice_fields_df
+
+    k = F.col("doc_id") % 4
+    head = [F.lit("請求書"), F.lit("株式会社ダミー商事")]
+    date_l = F.lit("請求日: 2024年3月4日")
+    total_l = F.lit("御請求金額 ¥1,100")
+    bank_l = F.lit("振込先: 三菱UFJ銀行 普通 1234567")
+    bank_no_acct = F.lit("振込先: 三菱UFJ銀行")
+    text = (
+        F.when(k == 0, F.concat_ws("\n", *head, date_l, total_l, bank_l))
+        .when(k == 1, F.concat_ws("\n", *head, total_l, bank_l))
+        .when(k == 2, F.concat_ws("\n", *head, date_l, total_l))
+        .otherwise(F.concat_ws("\n", *head, date_l, total_l, bank_no_acct))
+    )
+    base = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    out = extract_invoice_fields_df(base, keys=("doc_id",))
+    return out.select(
+        "doc_id", F.posexplode("warnings").alias("warn_seq", "warning")
+    )
+
+
+def q_engine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 engine-comparison fan-out (ref gui.py:1529-1637) as a queryable
+    operator: per-engine corpus stats over the html/pdf split."""
+    ex = _extracted(spark, sf_dir)
+    return ex.groupBy("engine").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("sum_text_chars"),
+        F.count(F.col("title")).alias("n_with_title"),
+        F.sum((F.col("doc_type") != "unknown").cast("long")).alias("n_classified"),
+    )
+
+
 def q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 median (ref preprocessor.py:979-997 deskew-angle median) as exact
     percentile over event values; x2 so the interpolated midpoint stays
@@ -556,6 +633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_below": q_span_below,
         "classify_reasoning": q_classify_reasoning,
         "median_by_type": q_median_by_type,
+        "receipt_tax": q_receipt_tax,
+        "receipt_warnings": q_receipt_warnings,
+        "invoice_warnings": q_invoice_warnings,
+        "engine_stats": q_engine_stats,
     }
 
 
@@ -616,7 +697,9 @@ WITH base AS (
         printf('小計 ¥%d', rv.a + rv.b + rv.c) || chr(10) ||
         printf('合計 ¥%d', rv.a + rv.b + rv.c) || chr(10) ||
         printf('お預り ¥%d', ((rv.a + rv.b + rv.c + 99) // 100) * 100) || chr(10) ||
-        '現金'
+        '現金' || chr(10) ||
+        printf('8%%対象 ¥%d', rv.b) || chr(10) ||
+        printf('10%%対象 ¥%d', rv.a + rv.c)
       WHEN base.k = 7 THEN
         '請求書' || chr(10) ||
         printf('請求書番号: INV-2024-%06d', iv.doc_id) || chr(10) ||
@@ -893,8 +976,10 @@ def _sql_lang_id() -> str:
 
 # classifier score constants for the synthetic receipt/invoice bodies —
 # computed once from pycore on the fixed keyword sets (values verified in
-# tests/test_entry_contract.py against live classification)
-_RECEIPT_SCORES = (980, 0)
+# tests/test_entry_contract.py against live classification).  Receipt went
+# 980 -> 1250 in r02 when the 8%対象/10%対象 tax lines (both scoring
+# keywords) joined the fixture body.
+_RECEIPT_SCORES = (1250, 0)
 _INVOICE_SCORES = (0, 2295)
 
 
@@ -1233,6 +1318,56 @@ def oracle_sql() -> dict[str, str]:
                      AS median_cents_x2,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "receipt_tax": """
+            SELECT doc_id,
+              (150 + (doc_id % 10) * 10)::BIGINT AS tax_rate_8,
+              (300 + (doc_id % 10) * 10 + ((doc_id // 10) % 10) * 10)::BIGINT
+                AS tax_rate_10,
+              (450 + (doc_id % 10) * 20 + ((doc_id // 10) % 10) * 10)::BIGINT
+                AS subtotal
+            FROM documents WHERE doc_id % 10 = 6
+        """,
+        "receipt_warnings": """
+            SELECT doc_id, unnest(
+              CASE doc_id % 4
+                WHEN 1 THEN [struct_pack(warn_seq := 0,
+                               warning := '日付を抽出できませんでした')]
+                WHEN 2 THEN [struct_pack(warn_seq := 0,
+                               warning := '合計金額を抽出できませんでした')]
+                WHEN 3 THEN [struct_pack(warn_seq := 0,
+                               warning := '日付を抽出できませんでした'),
+                             struct_pack(warn_seq := 1,
+                               warning := '合計金額を抽出できませんでした'),
+                             struct_pack(warn_seq := 2,
+                               warning := '店舗名を抽出できませんでした'),
+                             struct_pack(warn_seq := 3,
+                               warning := '本文を抽出できませんでした')]
+                ELSE []::STRUCT(warn_seq INTEGER, warning VARCHAR)[]
+              END, recursive := true)
+            FROM documents
+        """,
+        "invoice_warnings": """
+            SELECT doc_id, unnest(
+              CASE doc_id % 4
+                WHEN 1 THEN [struct_pack(warn_seq := 0,
+                               warning := '請求日を抽出できませんでした')]
+                WHEN 2 THEN [struct_pack(warn_seq := 0,
+                               warning := '振込先口座情報を抽出できませんでした')]
+                WHEN 3 THEN [struct_pack(warn_seq := 0,
+                               warning := '口座番号を抽出できませんでした')]
+                ELSE []::STRUCT(warn_seq INTEGER, warning VARCHAR)[]
+              END, recursive := true)
+            FROM documents
+        """,
+        "engine_stats": _PAGE_CTE + """
+            SELECT CASE WHEN doc_id % 10 = 8 THEN 'pdf' ELSE 'html' END AS engine,
+                   count(*) AS n_docs,
+                   sum(length(text))::BIGINT AS sum_text_chars,
+                   count(title) AS n_with_title,
+                   sum(CASE WHEN doc_type <> 'unknown' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_classified
+            FROM pages GROUP BY 1
         """,
         "span_right_of": """
             WITH base AS (SELECT doc_id,

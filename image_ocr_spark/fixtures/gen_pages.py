@@ -66,12 +66,13 @@ def kind_for(doc_id: int) -> str:
 
 def receipt_values(doc_id: int) -> Dict[str, int]:
     a = 200 + (doc_id % 10) * 10          # りんご unit price (x2 on the line)
-    b = 150 + (doc_id % 10) * 10          # 牛乳 (reduced tax ※)
+    b = 150 + (doc_id % 10) * 10          # 牛乳 (reduced tax ※ -> 8% base)
     c = 100 + ((doc_id // 10) % 10) * 10  # パン
     sub = a + b + c
     paid = ((sub + 99) // 100) * 100
     return {
         "a": a, "b": b, "c": c, "subtotal": sub, "total": sub, "paid": paid,
+        "tax8_base": b, "tax10_base": a + c,
         "month": 1 + doc_id % 12, "day": 1 + doc_id % 28,
         "tel1": 1000 + doc_id % 9000, "tel2": 1000 + (doc_id * 7) % 9000,
         "store_no": doc_id % 100,
@@ -79,6 +80,8 @@ def receipt_values(doc_id: int) -> Dict[str, int]:
 
 
 def receipt_lines(doc_id: int) -> List[str]:
+    # tax-breakdown lines (F17: ref extractors/receipt.py:28-34,402-419 —
+    # TaxDetails) sit AFTER the 合計 break so the item scan is unaffected
     v = receipt_values(doc_id)
     return [
         "領収書",
@@ -92,6 +95,8 @@ def receipt_lines(doc_id: int) -> List[str]:
         f"合計 ¥{v['total']}",
         f"お預り ¥{v['paid']}",
         "現金",
+        f"8%対象 ¥{v['tax8_base']}",
+        f"10%対象 ¥{v['tax10_base']}",
     ]
 
 

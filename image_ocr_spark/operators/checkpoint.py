@@ -25,7 +25,7 @@ import os
 import time
 from typing import Callable, Dict, List, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET_COL = "_bucket"
@@ -112,11 +112,25 @@ class BucketedCheckpoint:
         for batch in batches:
             t0 = time.time()
             src = bucketed.filter(F.col(BUCKET_COL).isin(batch))
+            # input counters ride the write job itself via observe() — one
+            # conditional count per bucket in the batch — instead of a second
+            # full scan of the raw source per batch (VERDICT r01 item 8; at
+            # 100 TB that second pass dominated).  Valid because `transform`
+            # consumes the source once (linear pipeline, no self-join).
+            obs = Observation(f"ckpt-in-{batch[0]}")
+            src = src.observe(
+                obs,
+                *[
+                    F.count(F.when(F.col(BUCKET_COL) == b, 1)).alias(f"in_{b}")
+                    for b in batch
+                ],
+            )
             out = transform(src.drop(BUCKET_COL)).withColumn(
                 BUCKET_COL, bucket_expr(self.num_buckets, self.key)
             )
             out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.data_dir)
             wall = time.time() - t0
+            in_by_bucket = {b: obs.get[f"in_{b}"] for b in batch}
             # per-bucket counters: row counts from parquet footers (cheap
             # metadata-only scan), bytes from the bucket dirs on disk.
             # An all-empty batch writes no bucket dirs at all — commit
@@ -135,10 +149,6 @@ class BucketedCheckpoint:
                     .agg(F.count(F.lit(1)).alias("rows"))
                     .collect()
                 }
-            in_by_bucket = {
-                r[BUCKET_COL]: r["c"]
-                for r in src.groupBy(BUCKET_COL).agg(F.count(F.lit(1)).alias("c")).collect()
-            }
             for b in batch:
                 rows = stats.get(b, 0)
                 bdir = os.path.join(self.data_dir, f"{BUCKET_COL}={b}")

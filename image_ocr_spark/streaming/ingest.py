@@ -1,22 +1,32 @@
 """Structured Streaming ingest of arriving page partitions (SURVEY §2.9
 stretch): micro-batch over a growing pages directory, the same extraction
-pipeline per batch, exactly-once via the streaming checkpoint + idempotent
-parquet append.
+pipeline per batch, exactly-once OUTPUT via the streaming checkpoint plus an
+idempotent per-batch sink.
 
 The reference is strictly batch; this exists because a crawl table GROWS —
 `availableNow` drains everything currently present and stops (catch-up
 mode), a plain start keeps tailing.  The per-batch transform is the SAME
 ``extract_pages`` plan used in batch — one code path, two execution modes.
+
+Exactly-once argument (VERDICT r01 item 9 / ADVICE): foreachBatch alone is
+at-least-once — a crash between the sink write and the checkpoint commit
+replays the batch.  The sink therefore partitions output by ``_batch_id``
+and writes with DYNAMIC partition overwrite: a replayed batch rewrites only
+its own partition, so duplicates cannot survive a replay.  (Replays reuse
+the same batch_id — that is the Structured Streaming contract.)
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..plans.pipeline import extract_pages
 from ..schemas import PAGE_SCHEMA
+
+BATCH_COL = "_batch_id"
 
 
 def stream_pages(
@@ -30,6 +40,27 @@ def stream_pages(
     return reader.parquet(pages_dir)
 
 
+def make_batch_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: idempotent on batch replay (same batch_id ->
+    dynamic overwrite of the same _batch_id partition, never an append)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            extract_pages(batch_df)
+            .withColumn(BATCH_COL, F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy(BATCH_COL)
+            .parquet(out_dir)
+        )
+
+    return process
+
+
 def run_ingest(
     spark: SparkSession,
     pages_dir: str,
@@ -41,13 +72,7 @@ def run_ingest(
     parquet.  foreachBatch keeps the mapInArrow tokenizer + windowless
     rollup identical to the batch plan."""
     stream = stream_pages(spark, pages_dir)
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        extract_pages(batch_df).write.mode("append").parquet(out_dir)
-
-    writer = stream.writeStream.foreachBatch(process).option(
+    writer = stream.writeStream.foreachBatch(make_batch_writer(out_dir)).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

@@ -40,7 +40,11 @@ def test_json_null_dropping(spark, extracted):
     receipt_url = next(u for u in js if u.endswith("/p/6"))
     doc = json.loads(js[receipt_url])
     assert doc["成功"] is True and doc["文書タイプ"] == "receipt"
-    assert "税額詳細" not in doc["領収書データ"]  # fixture has no 8%/10% lines
+    # since r02 the fixture carries 8%対象/10%対象 lines -> TaxDetails present
+    v = receipt_values(6)
+    assert doc["領収書データ"]["税額詳細"] == {
+        "8%対象額": v["tax8_base"], "10%対象額": v["tax10_base"]
+    }
     assert "請求書データ" not in doc  # null -> dropped
     assert doc["領収書データ"]["支払方法"] == "現金"
     # unicode preserved (ensure_ascii=False semantics)

@@ -73,6 +73,45 @@ def test_streaming_ingest_matches_batch(spark, pages, tmp_path):
     assert spark.read.parquet(out_dir).count() == len(batch)
 
 
+def test_checkpoint_input_counters_single_pass(spark, pages, tmp_path, monkeypatch):
+    """Input counters must ride the write job via observe(), not a second
+    collect() over the raw source per batch (VERDICT r01 item 8).  The only
+    remaining collect is the parquet-footer output-rows scan."""
+    cls = type(pages)  # the concrete DataFrame class (pyspark 4 subclasses)
+    calls = []
+    orig = cls.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    ck = BucketedCheckpoint(str(tmp_path / "ck3"), num_buckets=4)
+    ck.run(pages, extract_pages, buckets_per_batch=4)
+    assert len(calls) == 1, f"expected 1 collect (output footers), saw {len(calls)}"
+    m = ck.metrics()
+    assert m["input_rows"] == pages.count()
+    assert m["output_rows"] == m["input_rows"]
+
+
+def test_streaming_replay_is_idempotent(spark, pages, tmp_path):
+    """Crash-replay contract: re-running foreachBatch for the SAME batch_id
+    (what Structured Streaming does after a crash between sink write and
+    checkpoint commit) must not duplicate rows (ADVICE r01)."""
+    from image_ocr_spark.streaming.ingest import make_batch_writer
+
+    out_dir = str(tmp_path / "out_replay")
+    proc = make_batch_writer(out_dir)
+    proc(pages, 7)
+    first = spark.read.parquet(out_dir).count()
+    assert first == pages.count()
+    proc(pages, 7)  # replay of the same micro-batch
+    assert spark.read.parquet(out_dir).count() == first
+    # a NEW batch id still appends (separate partition)
+    proc(pages.limit(5), 8)
+    assert spark.read.parquet(out_dir).count() == first + 5
+
+
 def test_multimodal_feature_plumbing(spark, documents):
     from image_ocr_spark.operators.multimodal import (
         byte_histogram_features,
