@@ -577,6 +577,44 @@ def q_invoice_warnings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (letter runs / digit runs / punct runs) next
+    to whitespace tokens — the training-data-pipeline length filter."""
+    from image_ocr_spark.functions.textstats import bpe_token_count
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n_bpe = bpe_token_count(t)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(t, " ")).cast("long").alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(n_bpe > 0, F.floor(F.lit(1000) * F.length(t) / n_bpe))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("chars_per_bpe_milli"),
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling k-gram document fingerprints (MOSS-style) — compact
+    position-robust signatures for plagiarism/near-dup detection."""
+    from image_ocr_spark.operators.dedup import with_fingerprints
+
+    return with_fingerprints(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a duplicate-injected corpus:
+    IVF-cell blocking (trained centroids) + exact cosine verification."""
+    from image_ocr_spark.operators.similarity import embedding_dup_pairs
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return embedding_dup_pairs(
+        emb.unionByName(dup), threshold_milli=990, num_centroids=8, iters=1
+    )
+
+
 def q_engine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 engine-comparison fan-out (ref gui.py:1529-1637) as a queryable
     operator: per-engine corpus stats over the html/pdf split."""
@@ -637,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "receipt_warnings": q_receipt_warnings,
         "invoice_warnings": q_invoice_warnings,
         "engine_stats": q_engine_stats,
+        "token_count_bpe": q_token_count_bpe,
+        "doc_fingerprints": q_doc_fingerprints,
+        "dedup_embedding": q_dedup_embedding,
     }
 
 
@@ -829,6 +870,10 @@ def _sql_cosine(a: str, b: str) -> str:
     return f"({_sql_dot(a, b)} / sqrt({_sql_dot(a, a)} * {_sql_dot(b, b)}))"
 
 
+from image_ocr_spark.functions.textstats import BPE_TOKEN_PATTERN  # noqa: E402
+
+_BPE_PAT_SQL = BPE_TOKEN_PATTERN.replace("'", "''")
+
 _SQL_URL = (
     "'https://' || CASE WHEN doc_id % 10 < 3 THEN 'big.example.com' "
     "ELSE 'h' || (doc_id % 97)::VARCHAR || '.example.net' END "
@@ -866,6 +911,56 @@ def _sql_label_spans() -> str:
     )
 
 
+def _sql_ivf_assign(src: str, cents: str) -> str:
+    """Assign each vector of `src` to its nearest centroid of `cents`
+    (cosine desc, centroid-id asc tiebreak) — mirrors _assign_cells."""
+    return f"""(
+      SELECT vid, v, cid AS cell FROM (
+        SELECT e.vec_id AS vid, e.embedding AS v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_cosine('e.embedding', 'c.centv')} DESC,
+                          c.cid ASC) AS rn
+        FROM {src} e, {cents} c)
+      WHERE rn = 1)"""
+
+
+def _sql_ivf_update(assigned: str) -> str:
+    """Integer deci-micro elementwise centroid mean — mirrors
+    _update_centroids (order-independent => bit-identical)."""
+    from image_ocr_spark.operators.similarity import CENT_SCALE
+
+    return f"""(
+      SELECT cell AS cid,
+             list(s::DOUBLE / (n * {CENT_SCALE})::DOUBLE ORDER BY dim) AS centv
+      FROM (
+        SELECT cell, dim, sum(sv)::BIGINT AS s, count(*) AS n FROM (
+          SELECT cell,
+                 unnest([struct_pack(dim := i - 1,
+                           sv := round(v[i]::DOUBLE * {CENT_SCALE})::BIGINT)
+                         for i in range(1, len(v) + 1)], recursive := true)
+          FROM {assigned})
+        GROUP BY cell, dim)
+      GROUP BY cell)"""
+
+
+def _sql_kmeans_chain(src: str, num_centroids: int, iters: int) -> tuple:
+    """CTE list training centroids on `src` + final assignment CTE 'af';
+    returns (ctes, final_cents_name)."""
+    ctes = [
+        f"cents0 AS (SELECT vec_id AS cid, "
+        f"list_transform(embedding, x -> x::DOUBLE) AS centv "
+        f"FROM {src} WHERE vec_id < {num_centroids})"
+    ]
+    prev = "cents0"
+    for i in range(iters):
+        ctes.append(f"a{i} AS {_sql_ivf_assign(src, prev)}")
+        ctes.append(f"cents{i + 1} AS {_sql_ivf_update(f'a{i}')}")
+        prev = f"cents{i + 1}"
+    ctes.append(f"af AS {_sql_ivf_assign(src, prev)}")
+    return ctes, prev
+
+
 def _sql_kmeans_ivf(
     k: int = 5,
     num_centroids: int = 8,
@@ -876,44 +971,7 @@ def _sql_kmeans_ivf(
     """DuckDB replay of operators/similarity.kmeans_centroids + ivf_topk:
     same init (first-C ids), same integer deci-micro centroid sums (order-
     independent => bit-identical), same tiebreaks."""
-    from image_ocr_spark.operators.similarity import CENT_SCALE
-
-    def assign(cents: str) -> str:
-        return f"""(
-          SELECT vid, v, cid AS cell FROM (
-            SELECT e.vec_id AS vid, e.embedding AS v, c.cid,
-                   row_number() OVER (
-                     PARTITION BY e.vec_id
-                     ORDER BY {_sql_cosine('e.embedding', 'c.centv')} DESC,
-                              c.cid ASC) AS rn
-            FROM embeddings e, {cents} c)
-          WHERE rn = 1)"""
-
-    def update(assigned: str) -> str:
-        return f"""(
-          SELECT cell AS cid,
-                 list(s::DOUBLE / (n * {CENT_SCALE})::DOUBLE ORDER BY dim) AS centv
-          FROM (
-            SELECT cell, dim, sum(sv)::BIGINT AS s, count(*) AS n FROM (
-              SELECT cell,
-                     unnest([struct_pack(dim := i - 1,
-                               sv := round(v[i]::DOUBLE * {CENT_SCALE})::BIGINT)
-                             for i in range(1, len(v) + 1)], recursive := true)
-              FROM {assigned})
-            GROUP BY cell, dim)
-          GROUP BY cell)"""
-
-    ctes = [
-        f"cents0 AS (SELECT vec_id AS cid, "
-        f"list_transform(embedding, x -> x::DOUBLE) AS centv "
-        f"FROM embeddings WHERE vec_id < {num_centroids})"
-    ]
-    prev = "cents0"
-    for i in range(iters):
-        ctes.append(f"a{i} AS {assign(prev)}")
-        ctes.append(f"cents{i + 1} AS {update(f'a{i}')}")
-        prev = f"cents{i + 1}"
-    ctes.append(f"af AS {assign(prev)}")
+    ctes, prev = _sql_kmeans_chain("embeddings", num_centroids, iters)
     ctes.append(
         f"q AS (SELECT vec_id AS query_id, embedding AS qv "
         f"FROM embeddings WHERE vec_id < {nq})"
@@ -940,6 +998,33 @@ def _sql_kmeans_ivf(
                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
           FROM s)
         WHERE rank <= {k}"""
+    )
+
+
+def _sql_dedup_embedding(
+    threshold_milli: int = 990,
+    num_centroids: int = 8,
+    iters: int = 1,
+    offset: int = 100000,
+) -> str:
+    """Embedding-cosine near-dup oracle: duplicate-injected corpus, same
+    IVF-cell blocking + exact-cosine verify as embedding_dup_pairs."""
+    ctes = [
+        f"emb2 AS (SELECT vec_id, embedding FROM embeddings "
+        f"UNION ALL SELECT vec_id + {offset}, embedding FROM embeddings)"
+    ]
+    chain, _ = _sql_kmeans_chain("emb2", num_centroids, iters)
+    ctes += chain
+    cos = _sql_cosine("a.v", "b.v")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id_a, id_b, cos_milli FROM (
+          SELECT a.vid AS id_a, b.vid AS id_b,
+                 floor(1000 * {cos})::BIGINT AS cos_milli
+          FROM af a JOIN af b ON a.cell = b.cell AND a.vid < b.vid)
+        WHERE cos_milli >= {threshold_milli}"""
     )
 
 
@@ -1360,6 +1445,32 @@ def oracle_sql() -> dict[str, str]:
               END, recursive := true)
             FROM documents
         """,
+        "token_count_bpe": f"""
+            WITH b AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+            SELECT doc_id,
+              len(string_split(t, ' ')) AS n_ws_tokens,
+              len(regexp_extract_all(t, '{_BPE_PAT_SQL}')) AS n_bpe_tokens,
+              CASE WHEN len(regexp_extract_all(t, '{_BPE_PAT_SQL}')) > 0
+                   THEN (1000 * length(t))
+                        // len(regexp_extract_all(t, '{_BPE_PAT_SQL}'))
+                   ELSE 0 END::BIGINT AS chars_per_bpe_milli
+            FROM b
+        """,
+        "doc_fingerprints": """
+            WITH b AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            h AS (SELECT doc_id,
+                    [('0x' || substr(md5(substr(t, i, 8)), 1, 8))::BIGINT
+                     for i in range(1, greatest(1, length(t) - 7) + 1)] AS hs
+                  FROM b)
+            SELECT doc_id,
+                   unnest(list_sort(list_distinct(
+                     [list_min(list_slice(hs, j, j + 3))
+                      for j in range(1, greatest(1, len(hs) - 3) + 1)]))) AS fp
+            FROM h
+        """,
+        "dedup_embedding": _sql_dedup_embedding(
+            threshold_milli=990, num_centroids=8, iters=1, offset=100000
+        ),
         "engine_stats": _PAGE_CTE + """
             SELECT CASE WHEN doc_id % 10 = 8 THEN 'pdf' ELSE 'html' END AS engine,
                    count(*) AS n_docs,

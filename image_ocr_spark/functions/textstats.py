@@ -22,6 +22,16 @@ LANG_ORDER = ["en", "de", "es", "fr", "ja"]  # deterministic tiebreak order
 
 PUNCT_PATTERN = r"[.,!?;:]"
 
+# BPE-ish pre-tokenizer (GPT-2-style, ASCII-explicit so Java regex and
+# DuckDB RE2 agree): letter runs | digit runs | non-alnum-non-space runs.
+# Counting matches approximates subword token count well enough for
+# length-filtering thresholds in a training-data pipeline.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \n]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
 
 def tokens(text: Column) -> Column:
     return F.split(text, " ")

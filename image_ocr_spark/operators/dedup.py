@@ -289,3 +289,53 @@ def simhash_hamming_pairs(
     return cand.select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: winnowed rolling k-gram hashes (MOSS-style)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8   # character k-gram width
+WINNOW_W = 4   # winnowing window (guarantee: any match >= k+w-1 chars shares
+               # a fingerprint — Schleimer et al., "Winnowing: Local
+               # Algorithms for Document Fingerprinting", SIGMOD 2003)
+
+
+def winnow_fingerprints_col(
+    text: Column, k: int = WINNOW_K, w: int = WINNOW_W
+) -> Column:
+    """Winnowed document fingerprints as array<long> — per-row, shuffle-free.
+
+    Hash every character k-gram (md5-prefix, engine-portable), then keep the
+    minimum hash of each w-wide window; consecutive windows usually share
+    their minimum, so the distinct set is ~2/(w+1) of positions — a compact,
+    position-robust fingerprint (insertions shift positions but leave most
+    window minima intact).  A true rolling recurrence (Rabin-Karp) is an
+    equivalent optimization of the same values; expressed here as indexed
+    substring hashes because Catalyst evaluates the whole array expression
+    in one codegen'd pass anyway.
+    """
+    n_grams = F.greatest(F.lit(1), F.length(text) - (k - 1))
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: hash32(F.substring(text, i, k))
+    )
+    n_win = F.greatest(F.lit(1), n_grams - (w - 1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(hs, j, w))
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def with_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(id, fp) rows: one row per winnowed fingerprint of each document."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return docs.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints_col(t, k, w)).alias("fp"),
+    )

@@ -207,3 +207,42 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold_milli: int = 990,
+    num_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos_milli): embedding-cosine near-duplicate pairs.
+
+    Blocking: candidates are restricted to vectors assigned to the SAME IVF
+    cell (trained centroids) — near-identical vectors land in the same cell
+    deterministically, so true near-dups are never blocked apart, while the
+    candidate join touches ~N^2/C pairs instead of N^2.  At corpus scale
+    raise num_centroids ~ sqrt(N) so cells stay bounded; exact cosine then
+    verifies every candidate (floor(1000*cos) for an integer, hash-stable
+    output).
+    """
+    cents = kmeans_centroids(embeddings, num_centroids, iters, id_col, vec_col)
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    assigned = _assign_cells(vecs, cents)
+    a = assigned.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("cell").alias("ca")
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("cell").alias("cb")
+    )
+    cand = a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
+    cos_milli = F.floor(
+        F.lit(1000) * cosine_sim(F.col("va"), F.col("vb"))
+    ).cast("long")
+    return (
+        cand.select("id_a", "id_b", cos_milli.alias("cos_milli"))
+        .filter(F.col("cos_milli") >= threshold_milli)
+    )
