@@ -89,22 +89,43 @@ def brute_force_topk(
     )
 
 
-def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vid, v, cell): nearest centroid by cosine, tiebreak smaller id.
-    `cents` is (centroid_id, centv) and is always broadcast-size."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vid",
-        "v",
-        "centroid_id",
-        cosine_sim(F.col("v"), F.col("centv")).alias("csim"),
+Centroids = "list[tuple[int, list[float]]]"  # (centroid_id, vector), id-sorted
+
+
+def _assign_expr(v: Column, cents: list) -> Column:
+    """Nearest-centroid id as a PURE per-row expression over an embedded
+    centroid literal array — the scale-critical shape: assignment runs in
+    the scan stage with ZERO shuffle (the old crossJoin+groupBy(vid) form
+    pushed k copies of the corpus through an exchange per iteration).
+    Centroids are O(k*dim) driver-side values, the classic iterative-ML
+    control plane (collect -> embed -> next pass).  Tiebreak: strict '>'
+    over the id-ascending literal array == smaller centroid id wins."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("centv"),
+            )
+            for cid, cv in cents
+        ]
     )
-    return scored.groupBy("vid").agg(
-        F.max_by(
-            F.col("centroid_id"),
-            F.struct(F.col("csim"), (-F.col("centroid_id")).alias("nid")),
-        ).alias("cell"),
-        F.first("v").alias("v"),
-    )
+    init = F.struct(
+        F.lit(-2.0).alias("s"), F.lit(-1).cast("long").alias("cid")
+    )  # cosine >= -1 > -2, so the first centroid always replaces init
+
+    def step(acc: Column, c: Column) -> Column:
+        sim = cosine_sim(v, c["centv"])
+        return F.when(
+            sim > acc["s"],
+            F.struct(sim.alias("s"), c["cid"].cast("long").alias("cid")),
+        ).otherwise(acc)
+
+    return F.aggregate(arr, init, step)["cid"]
+
+
+def _assign_cells(vecs: DataFrame, cents: list) -> DataFrame:
+    """(vid, v, cell) — shuffle-free nearest-centroid assignment."""
+    return vecs.withColumn("cell", _assign_expr(F.col("v"), cents))
 
 
 def _update_centroids(assigned: DataFrame) -> DataFrame:
@@ -129,6 +150,41 @@ def _update_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_train(
+    embeddings: DataFrame,
+    num_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Driver-side centroid list [(id, [float,...])] after `iters` Lloyd
+    updates.
+
+    Init is the deterministic sample "first num_centroids ids" (a stand-in
+    for k-means++ that keeps the DuckDB oracle closed-form).  Each iteration
+    is one corpus pass: shuffle-free assignment expression, then the
+    integer-exact elementwise mean (k*dim partial-aggregated rows), then an
+    O(k*dim) collect — the only driver traffic, as in any iterative ML loop.
+    Cells that end an iteration empty are dropped, as in standard Lloyd.
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    init_rows = (
+        embeddings.filter(F.col(id_col) < num_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centv"),
+        )
+        .collect()
+    )
+    cents = sorted((r.centroid_id, list(r.centv)) for r in init_rows)
+    for _ in range(iters):
+        updated = _update_centroids(_assign_cells(vecs, cents)).collect()
+        cents = sorted((r.centroid_id, list(r.centv)) for r in updated)
+    return cents
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     num_centroids: int = 8,
@@ -136,23 +192,12 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(centroid_id, centv array<double>) after `iters` Lloyd updates.
-
-    Init is the deterministic sample "first num_centroids ids" (a stand-in
-    for k-means++ that keeps the DuckDB oracle closed-form); each update is
-    assign (broadcast join) + integer-exact elementwise mean.  Cells that
-    end an iteration empty are dropped, as in standard Lloyd.
-    """
-    vecs = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    """(centroid_id, centv array<double>) — DataFrame view of kmeans_train."""
+    cents = kmeans_train(embeddings, num_centroids, iters, id_col, vec_col)
+    return embeddings.sparkSession.createDataFrame(
+        [(cid, cv) for cid, cv in cents],
+        "centroid_id long, centv array<double>",
     )
-    cents = embeddings.filter(F.col(id_col) < num_centroids).select(
-        F.col(id_col).alias("centroid_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centv"),
-    )
-    for _ in range(iters):
-        cents = _update_centroids(_assign_cells(vecs, cents))
-    return cents
 
 
 def ivf_topk(
@@ -166,13 +211,19 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, neighbor_id, rank) searching the query's `nprobe` nearest
-    IVF cells (trained centroids, multi-probe — VERDICT r01 item 6)."""
-    cents = kmeans_centroids(embeddings, num_centroids, iters, id_col, vec_col)
+    IVF cells (trained centroids, multi-probe — VERDICT r01 item 6).
+
+    Corpus-side cell assignment is a shuffle-free per-row expression; the
+    only corpus exchange is the broadcast-probe join's output."""
+    cents = kmeans_train(embeddings, num_centroids, iters, id_col, vec_col)
     vecs = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
     assigned = _assign_cells(vecs, cents)
 
+    cents_df = embeddings.sparkSession.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "centroid_id long, centv array<double>"
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -181,7 +232,7 @@ def ivf_topk(
     )
     probes = (
         F.broadcast(q)
-        .crossJoin(F.broadcast(cents))
+        .crossJoin(F.broadcast(cents_df))
         .select(
             "query_id",
             "qv",
@@ -227,7 +278,7 @@ def embedding_dup_pairs(
     verifies every candidate (floor(1000*cos) for an integer, hash-stable
     output).
     """
-    cents = kmeans_centroids(embeddings, num_centroids, iters, id_col, vec_col)
+    cents = kmeans_train(embeddings, num_centroids, iters, id_col, vec_col)
     vecs = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )

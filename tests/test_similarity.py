@@ -47,3 +47,17 @@ def test_kmeans_centroids_deterministic(spark):
     m1 = {r.centroid_id: list(r.centv) for r in c1}
     m2 = {r.centroid_id: list(r.centv) for r in c2}
     assert m1 == m2  # bitwise-equal doubles
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    """The corpus->cell assignment must be a per-row expression (no
+    Exchange): the old crossJoin+groupBy(vid) form shuffled k copies of the
+    corpus per k-means iteration."""
+    from image_ocr_spark.operators.similarity import _assign_cells, kmeans_train
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = kmeans_train(emb, num_centroids=8, iters=1)
+    vecs = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v"))
+    plan = _assign_cells(vecs, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
