@@ -75,8 +75,10 @@ def prepare_pages() -> dict:
         return json.load(fh)
 
 
-def worker(threads: int, path: str, passes: int) -> None:
-    """Pinned-JVM timed run: warm-up pass, then `passes` timed passes."""
+def worker(threads: int, path: str) -> None:
+    """Pinned-JVM pass server: warm up, then run one timed pass per 'go'
+    line on stdin (lets the coordinator interleave lo/hi passes back-to-back
+    so each compared pair samples the SAME external-noise window)."""
     from image_ocr_spark.plans.pipeline import extract_pages
     from image_ocr_spark.session import get_spark
     from pyspark.sql import functions as F
@@ -108,38 +110,73 @@ def worker(threads: int, path: str, passes: int) -> None:
         return time.time() - t0
 
     one_pass()  # warm: JIT + codegen + python workers + page cache
-    times = [one_pass() for _ in range(passes)]
+    print(json.dumps({"ready": True}), flush=True)
+    for line in sys.stdin:
+        if line.strip() != "go":
+            break
+        print(json.dumps({"t": one_pass()}), flush=True)
     spark.stop()
-    print(json.dumps({"times": times}))
 
 
-def run_pinned(threads: int, path: str, passes: int) -> list:
-    cmd = [
-        "taskset", "-c", f"0-{threads - 1}",
-        sys.executable, os.path.abspath(__file__),
-        "--worker", str(threads), path, str(passes),
-    ]
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-    return json.loads(out.stdout.strip().splitlines()[-1])["times"]
+class PinnedWorker:
+    """Pinned subprocess running `worker`; one timed pass per ask()."""
+
+    def __init__(self, threads: int, cores: str, path: str):
+        self.p = subprocess.Popen(
+            ["taskset", "-c", cores, sys.executable,
+             os.path.abspath(__file__), "--worker", str(threads), path],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1,
+        )
+
+    def _read_json(self, key: str) -> dict:
+        while True:
+            line = self.p.stdout.readline()
+            if not line:
+                raise RuntimeError("bench worker died")
+            line = line.strip()
+            if line.startswith("{") and f'"{key}"' in line:
+                return json.loads(line)
+
+    def wait_ready(self) -> None:
+        self._read_json("ready")
+
+    def ask(self) -> float:
+        self.p.stdin.write("go\n")
+        self.p.stdin.flush()
+        return float(self._read_json("t")["t"])
+
+    def close(self) -> None:
+        try:
+            self.p.stdin.close()
+            self.p.wait(timeout=30)
+        except Exception:
+            self.p.kill()
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        worker(int(sys.argv[2]), sys.argv[3])
         return
     os.makedirs(CACHE_ROOT, exist_ok=True)
     meta = prepare_pages()
     path = pages_path()
+    # DISJOINT core sets (lo: 0..LO-1, hi: LO..LO+HI-1) so the idle JVM's
+    # background threads never sit on the measuring JVM's cores; passes
+    # alternate lo,hi,lo,hi so each ratio sample shares one noise window.
+    lo_w = PinnedWorker(LO, f"0-{LO - 1}", path)
+    hi_w = PinnedWorker(HI, f"{LO}-{LO + HI - 1}", path)
+    lo_w.wait_ready()
+    hi_w.wait_ready()
     best = {LO: float("inf"), HI: float("inf")}
     deadline = time.time() + BUDGET_S
-    # one pinned JVM per level, best of 3 timed passes inside it; extra
-    # rounds only if the time budget allows (external-noise resilience)
-    rounds = 0
-    while rounds == 0 or (time.time() < deadline and rounds < 2):
-        for level in (LO, HI):
-            for t in run_pinned(level, path, passes=3):
-                best[level] = min(best[level], t)
-        rounds += 1
+    passes = 0
+    while passes < 3 or (time.time() < deadline and passes < 10):
+        best[LO] = min(best[LO], lo_w.ask())
+        best[HI] = min(best[HI], hi_w.ask())
+        passes += 1
+    lo_w.close()
+    hi_w.close()
 
     docs, mbytes = meta["docs"], meta["bytes"] / 1e6
     dps_lo, dps_hi = docs / best[LO], docs / best[HI]

@@ -127,14 +127,15 @@ def normalize_date(col: Column) -> Column:
 # Characters Python's str.strip() removes that can still be present when the
 # final strip runs (controls \x00-\x1f except \t\n are already gone, \r has
 # become \n): ASCII space/tab/newline plus the Unicode space set.  F.trim
-# strips only ASCII spaces, so the final strip is an explicit regex class to
-# stay bit-identical with pycore.normalize.clean_text's .strip().
-_PY_STRIP_CLASS = (
-    "[ \t\n"
+# strips only ASCII spaces; btrim with this explicit set is bit-identical
+# with pycore.normalize.clean_text's .strip() AND O(boundary) — an anchored
+# regex alternative costs a whole-string scan per document (measured ~10%
+# of flagship wall time).
+_PY_STRIP_CHARS = (
+    " \t\n"
     + "".join(chr(c) for c in (0x85, 0xA0, 0x1680))
     + "".join(chr(c) for c in range(0x2000, 0x200B))
     + "".join(chr(c) for c in (0x2028, 0x2029, 0x202F, 0x205F, 0x3000))
-    + "]+"
 )
 
 
@@ -149,7 +150,7 @@ def clean_text(col: Column) -> Column:
     c = F.regexp_replace(c, "[ \t]+", " ")
     c = F.regexp_replace(c, "\n{3,}", "\n\n")
     c = F.regexp_replace(c, "(?m)^[ \t]+|[ \t]+$", "")
-    return F.regexp_replace(c, f"^{_PY_STRIP_CLASS}|{_PY_STRIP_CLASS}$", "")
+    return F.btrim(c, F.lit(_PY_STRIP_CHARS))
 
 
 def fix_company_name(col: Column) -> Column:
