@@ -1,0 +1,94 @@
+"""Stateful streaming operators (SURVEY §2.9 stretch, round 2):
+
+- ``windowed_page_counts``: tumbling event-time windows over ``warc_ts``
+  with a watermark — the late-data-tolerant crawl-rate rollup.  Pure
+  built-in operators (window + watermark), no UDF.
+- ``dedup_first_seen``: cross-micro-batch url dedup via
+  ``applyInPandasWithState`` — per-url GroupState survives in the streaming
+  checkpoint, so a url seen in batch 1 is suppressed in every later batch
+  even across restarts.  This is the custom-stateful-operator shape the
+  built-ins cannot express (distinct() in streaming has unbounded state and
+  no cross-restart first-wins contract).
+
+Scale notes: window+watermark state is bounded by (windows in watermark
+horizon x langs); the dedup state is one tiny row per distinct url,
+hash-partitioned by url — the same key layout as the batch dedup, no skew
+beyond the url distribution itself.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("first_ts", T.TimestampType(), True),
+    ]
+)
+DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.IntegerType(), False)])
+
+
+def windowed_page_counts(
+    pages: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window counts per lang, late rows admitted up to
+    `watermark` behind the max seen ``warc_ts``.  Works on both batch and
+    streaming DataFrames (same plan text — asserted in tests)."""
+    df = pages.select(F.col("warc_ts").cast("timestamp").alias("ts"), "lang", "html")
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return df.groupBy(F.window("ts", window).alias("win"), "lang").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.octet_length("html")).alias("html_bytes"),
+    ).select(
+        F.col("win.start").alias("win_start"),
+        "lang",
+        "n_pages",
+        "html_bytes",
+    )
+
+
+def _dedup_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit the url's first row ever; GroupState marks it seen forever."""
+    if state.exists:
+        for _ in pdfs:  # drain; already emitted in an earlier batch
+            pass
+        return
+    first = None
+    for pdf in pdfs:
+        if len(pdf) and first is None:
+            first = pdf.sort_values("warc_ts", kind="stable").head(1)
+    state.update((1,))
+    if first is not None:
+        yield pd.DataFrame(
+            {"url": [key[0]], "first_ts": [first["warc_ts"].iloc[0]]}
+        )
+
+
+def dedup_first_seen(pages: DataFrame) -> DataFrame:
+    """Streaming first-seen url dedup: one output row per distinct url,
+    across micro-batches and restarts (state in the checkpoint)."""
+    return (
+        pages.select("url", "warc_ts")
+        .groupBy("url")
+        .applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=DEDUP_OUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
