@@ -160,6 +160,10 @@ PACKED_DDL = (
 
 
 def _tokenize_packed(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    # Output is assembled COLUMNAR: six flat field buffers + a list-offset
+    # array, then ListArray.from_arrays(StructArray.from_arrays(...)).
+    # pa.array() on a list-of-dicts hits pyarrow's per-element inference
+    # path and was measured at ~2x the cost of the tokenizer itself.
     for batch in batches:
         names = batch.schema.names
         urls = batch.column(names.index("url")).to_pylist()
@@ -169,27 +173,53 @@ def _tokenize_packed(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
         else:
             doc_ids = [None] * len(urls)
         engines: list = []
-        node_lists: list = []
+        offsets: list = [0]
+        f_nid: list = []
+        f_tag: list = []
+        f_txt: list = []
+        f_nch: list = []
+        f_nlk: list = []
+        f_nwd: list = []
         for raw in htmls:
             if raw is None:
-                engines.append("html")
-                node_lists.append([_SENTINEL])
-                continue
-            try:
-                if is_pdf(raw):
-                    engine, nodes = "pdf", tokenize_pdf(raw)
-                else:
-                    engine, nodes = "html", tokenize_html(raw)
-            except Exception:
-                engine, nodes = "error", []
+                engine, nodes = "html", [_SENTINEL]
+            else:
+                try:
+                    if is_pdf(raw):
+                        engine, nodes = "pdf", tokenize_pdf(raw)
+                    else:
+                        engine, nodes = "html", tokenize_html(raw)
+                except Exception:
+                    engine, nodes = "error", []
+                if not nodes:
+                    nodes = [_SENTINEL]
             engines.append(engine)
-            node_lists.append(nodes or [_SENTINEL])
+            for n in nodes:
+                f_nid.append(n["node_id"])
+                f_tag.append(n["tag_class"])
+                f_txt.append(n["text"])
+                f_nch.append(n["n_chars"])
+                f_nlk.append(n["n_link_chars"])
+                f_nwd.append(n["n_words"])
+            offsets.append(len(f_nid))
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(f_nid, pa.int32()),
+                pa.array(f_tag, pa.string()),
+                pa.array(f_txt, pa.string()),
+                pa.array(f_nch, pa.int32()),
+                pa.array(f_nlk, pa.int32()),
+                pa.array(f_nwd, pa.int32()),
+            ],
+            fields=list(_NODE_STRUCT),
+        )
+        nodes_arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(urls, pa.string()),
                 pa.array(doc_ids, pa.int64()),
                 pa.array(engines, pa.string()),
-                pa.array(node_lists, pa.list_(_NODE_STRUCT)),
+                nodes_arr,
             ],
             schema=_PACKED_SCHEMA,
         )

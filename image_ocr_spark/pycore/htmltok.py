@@ -132,11 +132,15 @@ def tokenize_html(raw: bytes) -> List[Dict]:
                 "text": joined,
                 "n_chars": n_chars,
                 "n_link_chars": n_link,
-                "n_words": len(joined.split(" ")),
+                # == len(joined.split(" ")): collapsed text is non-empty
+                # with single spaces only
+                "n_words": joined.count(" ") + 1,
             }
         )
 
     unescape = _htmlmod.unescape
+    buf_append = buf.append
+    lower_cache: Dict[str, str] = {}  # raw tag -> lowercased (tags repeat)
     pos = 0
     for m in _TAG_RE.finditer(text):
         start = m.start()
@@ -145,15 +149,18 @@ def tokenize_html(raw: bytes) -> List[Dict]:
             if "&" in frag:
                 frag = unescape(frag)
             if frag:
-                buf.append(frag)
+                buf_append(frag)
                 if a_depth > 0:
                     buf_link_len += len(frag)
         pos = m.end()
-        name = m.group(2).lower()
+        closing, rawname, _attrs, selfclose = m.groups()
+        name = lower_cache.get(rawname)
+        if name is None:
+            name = lower_cache[rawname] = rawname.lower()
         if name in BLOCK_TAGS:
-            closing = m.group(1)
             if buf:
                 flush()
+                buf_append = buf.append  # flush rebinds buf
             if name == "title":
                 in_title = not closing
             if name in BOILER_TAGS:
@@ -171,12 +178,12 @@ def tokenize_html(raw: bytes) -> List[Dict]:
             elif closing and name not in _NEUTRAL:
                 block_class = "div"
         elif name in DROP_TAGS:
-            if m.group(1):
+            if closing:
                 drop_depth = max(0, drop_depth - 1)
-            elif not m.group(4):
+            elif not selfclose:
                 drop_depth += 1
         elif name == "a":
-            if m.group(1):
+            if closing:
                 a_depth = max(0, a_depth - 1)
             else:
                 a_depth += 1
