@@ -608,8 +608,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-cell blocking (trained centroids) + exact cosine verification."""
     from image_ocr_spark.operators.similarity import embedding_dup_pairs
 
+    from image_ocr_spark.operators.dedup import VARIANT_OFFSET
+
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    dup = emb.select(
+        (F.col("vec_id") + VARIANT_OFFSET).alias("vec_id"), "embedding"
+    )
     return embedding_dup_pairs(
         emb.unionByName(dup), threshold_milli=990, num_centroids=8, iters=1
     )
@@ -802,13 +806,14 @@ from image_ocr_spark.operators.dedup import (  # noqa: E402
     DEFAULT_SHINGLE_MAX_DF,
     SIMHASH_BITS,
     SIMHASH_CHUNKS,
+    VARIANT_OFFSET,
 )
 
-_SQL_CORPUS = """
+_SQL_CORPUS = f"""
 corpus AS (
   SELECT doc_id, coalesce(text, '') AS text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000,
+  SELECT doc_id + {VARIANT_OFFSET},
          regexp_replace(coalesce(text, ''), '^[^ ]+', 'zzvariant')
   FROM documents
 )"""
@@ -1005,7 +1010,7 @@ def _sql_dedup_embedding(
     threshold_milli: int = 990,
     num_centroids: int = 8,
     iters: int = 1,
-    offset: int = 100000,
+    offset: int = VARIANT_OFFSET,
 ) -> str:
     """Embedding-cosine near-dup oracle: duplicate-injected corpus, same
     IVF-cell blocking + exact-cosine verify as embedding_dup_pairs."""
@@ -1469,7 +1474,7 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "dedup_embedding": _sql_dedup_embedding(
-            threshold_milli=990, num_centroids=8, iters=1, offset=100000
+            threshold_milli=990, num_centroids=8, iters=1
         ),
         "engine_stats": _PAGE_CTE + """
             SELECT CASE WHEN doc_id % 10 = 8 THEN 'pdf' ELSE 'html' END AS engine,

@@ -122,18 +122,25 @@ class PinnedWorker:
     """Pinned subprocess running `worker`; one timed pass per ask()."""
 
     def __init__(self, threads: int, cores: str, path: str):
+        self.errlog = os.path.join(CACHE_ROOT, f"worker-{threads}.stderr")
         self.p = subprocess.Popen(
             ["taskset", "-c", cores, sys.executable,
              os.path.abspath(__file__), "--worker", str(threads), path],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True, bufsize=1,
+            stderr=open(self.errlog, "w"), text=True, bufsize=1,
         )
 
     def _read_json(self, key: str) -> dict:
         while True:
             line = self.p.stdout.readline()
             if not line:
-                raise RuntimeError("bench worker died")
+                tail = ""
+                try:
+                    with open(self.errlog) as fh:
+                        tail = fh.read()[-2000:]
+                except OSError:
+                    pass
+                raise RuntimeError(f"bench worker died; stderr tail:\n{tail}")
             line = line.strip()
             if line.startswith("{") and f'"{key}"' in line:
                 return json.loads(line)
@@ -164,8 +171,15 @@ def main() -> None:
     # DISJOINT core sets (lo: 0..LO-1, hi: LO..LO+HI-1) so the idle JVM's
     # background threads never sit on the measuring JVM's cores; passes
     # alternate lo,hi,lo,hi so each ratio sample shares one noise window.
-    lo_w = PinnedWorker(LO, f"0-{LO - 1}", path)
-    hi_w = PinnedWorker(HI, f"{LO}-{LO + HI - 1}", path)
+    # Needs LO+HI host cpus; on smaller hosts fall back to overlapping
+    # 0-based ranges (the r01 layout) rather than failing at taskset exec.
+    ncpu = os.cpu_count() or 1
+    if ncpu >= LO + HI:
+        lo_cores, hi_cores = f"0-{LO - 1}", f"{LO}-{LO + HI - 1}"
+    else:
+        lo_cores, hi_cores = f"0-{LO - 1}", f"0-{min(HI, ncpu) - 1}"
+    lo_w = PinnedWorker(LO, lo_cores, path)
+    hi_w = PinnedWorker(HI, hi_cores, path)
     lo_w.wait_ready()
     hi_w.wait_ready()
     best = {LO: float("inf"), HI: float("inf")}

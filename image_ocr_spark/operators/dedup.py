@@ -47,6 +47,12 @@ DEFAULT_SHINGLE_N = 3
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4
 
+# id offset for injected duplicate/variant rows in the dedup correctness
+# corpora: far above any realistic id (2^40) so injected ids can never
+# collide with real ones at any scale factor, while id+offset still sits
+# comfortably inside BIGINT
+VARIANT_OFFSET = 1 << 40
+
 
 def hash32(col: Column) -> Column:
     """Deterministic 32-bit string hash shared with the DuckDB oracle."""
@@ -123,7 +129,7 @@ def with_simhash(df: DataFrame, text_col: str = "text",
 
 
 def with_variants(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  offset: int = 1_000_000) -> DataFrame:
+                  offset: int = VARIANT_OFFSET) -> DataFrame:
     """Deterministic near-duplicate injection: every doc gets one mutated
     copy (first token replaced) under id + offset.  Used by the dedup
     correctness queries so candidate pairs provably exist; the DuckDB oracle

@@ -47,13 +47,14 @@ def make_batch_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
+        # per-write option, NOT a session conf mutation: a session-level
+        # switch to dynamic mode would silently change the semantics of
+        # every later static partitioned overwrite in the same session
         (
             extract_pages(batch_df)
             .withColumn(BATCH_COL, F.lit(int(batch_id)))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BATCH_COL)
             .parquet(out_dir)
         )

@@ -67,15 +67,17 @@ def _dedup_fn(
         for _ in pdfs:  # drain; already emitted in an earlier batch
             pass
         return
-    first = None
+    # min over ALL chunks: a hot url can arrive split across several Arrow
+    # chunks in arbitrary order, and state makes this emission permanent
+    first_ts = None
     for pdf in pdfs:
-        if len(pdf) and first is None:
-            first = pdf.sort_values("warc_ts", kind="stable").head(1)
+        if len(pdf):
+            cand = pdf["warc_ts"].min()
+            if first_ts is None or cand < first_ts:
+                first_ts = cand
     state.update((1,))
-    if first is not None:
-        yield pd.DataFrame(
-            {"url": [key[0]], "first_ts": [first["warc_ts"].iloc[0]]}
-        )
+    if first_ts is not None:
+        yield pd.DataFrame({"url": [key[0]], "first_ts": [first_ts]})
 
 
 def dedup_first_seen(pages: DataFrame) -> DataFrame:

@@ -94,3 +94,38 @@ def test_packed_pipeline_zero_rollup_shuffles(spark, pages_path):
     ops = re.findall(r"^\((\d+)\) (\w+)", plan, re.M)
     assert sum(1 for _, op in ops if op == "Exchange") == 1, ops
     assert not any(op in ("Sort", "Window") for _, op in ops), ops
+
+
+def test_minhash_signatures_no_shuffle(spark, documents):
+    """Signatures are per-row array expressions: computed in the scan stage,
+    zero Exchange (at 100 TB the signature pass is free with the scan)."""
+    from image_ocr_spark.operators.dedup import minhash_col, with_simhash
+
+    sigs = documents.select(
+        "doc_id", minhash_col(F.coalesce(F.col("text"), F.lit(""))).alias("sig")
+    )
+    assert "Exchange" not in _formatted(sigs)
+    assert "Exchange" not in _formatted(with_simhash(documents.select("doc_id", "text")))
+
+
+def test_brute_force_knn_broadcasts_queries(spark):
+    """Query side must broadcast; the corpus must never shuffle."""
+    import os
+
+    from image_ocr_spark.operators.similarity import brute_force_topk
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _formatted(brute_force_topk(emb, emb.filter(F.col("vec_id") < 4), k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only allowed exchange on the corpus path is the window's top-k
+    # partitioning by query_id (post-similarity, k rows per query survive)
+
+
+def test_ngram_candidate_join_on_shingle_hash(spark, documents):
+    """The candidate join keys on the shingle hash (equi-join, not a cross
+    product), and the df-cap aggregation shares that key."""
+    from image_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    plan = _formatted(ngram_jaccard_pairs(documents.limit(50)))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -1,9 +1,11 @@
 """ANN quality gates (VERDICT r01 item 6): trained-centroid IVF must beat
 placeholder recall and multi-probe must not hurt."""
 
+import os
+
 from pyspark.sql import functions as F
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _recall_maps(rows):
