@@ -149,7 +149,10 @@ def clean_text(col: Column) -> Column:
     c = F.regexp_replace(c, "\r", "\n")
     c = F.regexp_replace(c, "[ \t]+", " ")
     c = F.regexp_replace(c, "\n{3,}", "\n\n")
-    c = F.regexp_replace(c, "(?m)^[ \t]+|[ \t]+$", "")
+    # (?d) = Java UNIX_LINES: ^/$ anchor only at '\n', matching Python's
+    # multiline semantics — without it Java also anchors at NEL/LS/PS
+    # (\x85    ) and strips spaces Python keeps (fuzz-caught)
+    c = F.regexp_replace(c, "(?dm)^[ \t]+|[ \t]+$", "")
     return F.btrim(c, F.lit(_PY_STRIP_CHARS))
 
 
