@@ -1006,6 +1006,44 @@ def _sql_kmeans_ivf(
     )
 
 
+def _sql_doc_fingerprints() -> str:
+    """Winnowed Rabin-Karp fingerprints oracle: same codepoint polynomial
+    (ascii() agrees with Spark's F.ascii for all of Unicode; '' -> 0 in
+    both), same winnow window minima, same cap."""
+    from image_ocr_spark.operators.dedup import (
+        MERSENNE31 as _M,
+        POLY_B,
+        WINNOW_K,
+        WINNOW_MAX_CHARS,
+        WINNOW_W,
+    )
+
+    powers = [pow(POLY_B, j, _M) for j in range(WINNOW_K)]
+    terms = " + ".join(
+        f"coalesce(cps[i + {j}], 0) * {pw}" for j, pw in enumerate(powers)
+    )
+    return f"""
+        WITH b AS (SELECT doc_id,
+                          substr(coalesce(text, ''), 1, {WINNOW_MAX_CHARS}) AS t
+                   FROM documents),
+        cp AS (SELECT doc_id,
+                      list_transform(string_split(t, ''),
+                                     c -> ascii(c)::BIGINT) AS cps
+               FROM b),
+        h AS (SELECT doc_id,
+                [({terms}) % {_M}
+                 for i in range(1, greatest(1, len(cps) - {WINNOW_K - 1}) + 1)]
+                  AS hs
+              FROM cp)
+        SELECT doc_id,
+               unnest(list_sort(list_distinct(
+                 [list_min(list_slice(hs, j, j + {WINNOW_W - 1}))
+                  for j in range(1, greatest(1, len(hs) - {WINNOW_W - 1}) + 1)])))
+                 AS fp
+        FROM h
+    """
+
+
 def _sql_dedup_embedding(
     threshold_milli: int = 990,
     num_centroids: int = 8,
@@ -1461,18 +1499,7 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0 END::BIGINT AS chars_per_bpe_milli
             FROM b
         """,
-        "doc_fingerprints": """
-            WITH b AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
-            h AS (SELECT doc_id,
-                    [('0x' || substr(md5(substr(t, i, 8)), 1, 8))::BIGINT
-                     for i in range(1, greatest(1, length(t) - 7) + 1)] AS hs
-                  FROM b)
-            SELECT doc_id,
-                   unnest(list_sort(list_distinct(
-                     [list_min(list_slice(hs, j, j + 3))
-                      for j in range(1, greatest(1, len(hs) - 3) + 1)]))) AS fp
-            FROM h
-        """,
+        "doc_fingerprints": _sql_doc_fingerprints(),
         "dedup_embedding": _sql_dedup_embedding(
             threshold_milli=990, num_centroids=8, iters=1
         ),

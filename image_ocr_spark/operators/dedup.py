@@ -305,30 +305,59 @@ WINNOW_K = 8   # character k-gram width
 WINNOW_W = 4   # winnowing window (guarantee: any match >= k+w-1 chars shares
                # a fingerprint — Schleimer et al., "Winnowing: Local
                # Algorithms for Document Fingerprinting", SIGMOD 2003)
+WINNOW_MAX_CHARS = 65536  # EXPLICIT sampling cap: fingerprint the first 64k
+                          # chars only, so the per-row arrays stay bounded
+                          # for multi-MB documents (a 2 MB page would
+                          # otherwise build two ~2M-element arrays per row).
+                          # Mirrored verbatim in the DuckDB oracle.
+POLY_B = 257              # rolling-hash base; gram hash is the Rabin-Karp
+                          # polynomial sum(cp[i+j] * B^j) mod MERSENNE31
 
 
 def winnow_fingerprints_col(
-    text: Column, k: int = WINNOW_K, w: int = WINNOW_W
+    text: Column, k: int = WINNOW_K, w: int = WINNOW_W,
+    max_chars: int = WINNOW_MAX_CHARS,
 ) -> Column:
     """Winnowed document fingerprints as array<long> — per-row, shuffle-free.
 
-    Hash every character k-gram (md5-prefix, engine-portable), then keep the
-    minimum hash of each w-wide window; consecutive windows usually share
-    their minimum, so the distinct set is ~2/(w+1) of positions — a compact,
-    position-robust fingerprint (insertions shift positions but leave most
-    window minima intact).  A true rolling recurrence (Rabin-Karp) is an
-    equivalent optimization of the same values; expressed here as indexed
-    substring hashes because Catalyst evaluates the whole array expression
-    in one codegen'd pass anyway.
+    Rabin-Karp polynomial hash of every character k-gram (codepoint
+    arithmetic — identical integers in Spark, DuckDB, and Python, no string
+    allocation or md5 in the hot loop), then keep the minimum hash of each
+    w-wide window; consecutive windows usually share their minimum, so the
+    distinct set is ~2/(w+1) of positions — a compact, position-robust
+    fingerprint (insertions shift positions but leave most window minima
+    intact).
+
+    Codepoints come from one split('') pass so every gram hash is O(k)
+    element_at lookups — an earlier substring(text, i, k) form was O(i) per
+    gram (UTF8String position scan) and went quadratic on long documents.
+    Out-of-range positions (text shorter than k) hash as codepoint 0.
     """
-    n_grams = F.greatest(F.lit(1), F.length(text) - (k - 1))
-    hs = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: hash32(F.substring(text, i, k))
-    )
+    text = F.substring(text, 1, max_chars)
+    cps = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
+    n_grams = F.greatest(F.lit(1), F.size(cps) - (k - 1))
+    powers = [pow(POLY_B, j, MERSENNE31) for j in range(k)]
+
+    # Array-level formulation: gram hashes = elementwise combination of k
+    # SHIFTED VIEWS of the codepoint array (slice is one O(n) op; zip_with
+    # pads the shorter side with NULL -> coalesce 0 covers texts shorter
+    # than k).  A per-index element_at(cps, i+j) form re-evaluated the cps
+    # expression inside the lambda and went super-linear.
+    def _term(pw: int):
+        # closure factory, not a default arg: pyspark inspects lambda arity
+        return lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)) * pw
+
+    acc = F.transform(F.slice(cps, 1, n_grams), lambda x: x * powers[0])
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(cps, 1 + j, n_grams), _term(powers[j]))
+    hs = F.transform(acc, lambda x: x % MERSENNE31)
+
+    # winnow = elementwise min of w shifted views (least() skips the NULL
+    # padding zip_with adds when a view runs short)
     n_win = F.greatest(F.lit(1), n_grams - (w - 1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(hs, j, w))
-    )
+    mins = F.slice(hs, 1, n_win)
+    for j in range(1, w):
+        mins = F.zip_with(mins, F.slice(hs, 1 + j, n_win), lambda a, b: F.least(a, b))
     return F.array_sort(F.array_distinct(mins))
 
 
@@ -338,10 +367,11 @@ def with_fingerprints(
     text_col: str = "text",
     k: int = WINNOW_K,
     w: int = WINNOW_W,
+    max_chars: int = WINNOW_MAX_CHARS,
 ) -> DataFrame:
     """(id, fp) rows: one row per winnowed fingerprint of each document."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     return docs.select(
         F.col(id_col),
-        F.explode(winnow_fingerprints_col(t, k, w)).alias("fp"),
+        F.explode(winnow_fingerprints_col(t, k, w, max_chars)).alias("fp"),
     )
