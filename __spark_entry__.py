@@ -603,6 +603,17 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprints(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style local-match pairs: documents sharing >= 5 winnowed
+    rolling-hash fingerprints over the variant-injected corpus (df-capped
+    candidate generation, same scale shape as ngram_jaccard)."""
+    from image_ocr_spark.operators.dedup import fingerprint_match_pairs, with_variants
+
+    return fingerprint_match_pairs(
+        with_variants(_docs(spark, sf_dir)), min_shared=5
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over a duplicate-injected corpus:
     IVF-cell blocking (trained centroids) + exact cosine verification."""
@@ -681,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_stats": q_engine_stats,
         "token_count_bpe": q_token_count_bpe,
         "doc_fingerprints": q_doc_fingerprints,
+        "fingerprint_pairs": q_fingerprint_pairs,
         "dedup_embedding": q_dedup_embedding,
     }
 
@@ -1006,10 +1018,11 @@ def _sql_kmeans_ivf(
     )
 
 
-def _sql_doc_fingerprints() -> str:
-    """Winnowed Rabin-Karp fingerprints oracle: same codepoint polynomial
-    (ascii() agrees with Spark's F.ascii for all of Unicode; '' -> 0 in
-    both), same winnow window minima, same cap."""
+def _sql_winnow_fps_cte(src: str) -> str:
+    """CTE chain `cp, h, f` computing (doc_id, fps) winnowed Rabin-Karp
+    fingerprints of `src`(doc_id, text): same codepoint polynomial (ascii()
+    agrees with Spark's F.ascii for all of Unicode; '' -> 0 in both), same
+    winnow window minima, same sampling cap."""
     from image_ocr_spark.operators.dedup import (
         MERSENNE31 as _M,
         POLY_B,
@@ -1023,25 +1036,50 @@ def _sql_doc_fingerprints() -> str:
         f"coalesce(cps[i + {j}], 0) * {pw}" for j, pw in enumerate(powers)
     )
     return f"""
-        WITH b AS (SELECT doc_id,
-                          substr(coalesce(text, ''), 1, {WINNOW_MAX_CHARS}) AS t
-                   FROM documents),
         cp AS (SELECT doc_id,
-                      list_transform(string_split(t, ''),
-                                     c -> ascii(c)::BIGINT) AS cps
-               FROM b),
+                      list_transform(
+                        string_split(substr(coalesce(text, ''), 1,
+                                            {WINNOW_MAX_CHARS}), ''),
+                        c -> ascii(c)::BIGINT) AS cps
+               FROM {src}),
         h AS (SELECT doc_id,
                 [({terms}) % {_M}
                  for i in range(1, greatest(1, len(cps) - {WINNOW_K - 1}) + 1)]
                   AS hs
-              FROM cp)
-        SELECT doc_id,
-               unnest(list_sort(list_distinct(
-                 [list_min(list_slice(hs, j, j + {WINNOW_W - 1}))
-                  for j in range(1, greatest(1, len(hs) - {WINNOW_W - 1}) + 1)])))
-                 AS fp
-        FROM h
+              FROM cp),
+        f AS (SELECT doc_id,
+                     list_sort(list_distinct(
+                       [list_min(list_slice(hs, j, j + {WINNOW_W - 1}))
+                        for j in range(1, greatest(1, len(hs) - {WINNOW_W - 1}) + 1)]))
+                       AS fps
+              FROM h)"""
+
+
+def _sql_doc_fingerprints() -> str:
+    return (
+        "WITH "
+        + _sql_winnow_fps_cte("documents")
+        + " SELECT doc_id, unnest(fps) AS fp FROM f"
+    )
+
+
+def _sql_fingerprint_pairs(min_shared: int, max_df: int) -> str:
+    from image_ocr_spark.operators.dedup import DEFAULT_SHINGLE_MAX_DF  # noqa: F401
+
+    return (
+        "WITH "
+        + _SQL_CORPUS
+        + ", "
+        + _sql_winnow_fps_cte("corpus")
+        + f""",
+        ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        rare AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= {max_df}),
+        exr AS (SELECT ex.doc_id, ex.fp FROM ex JOIN rare USING (fp))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {min_shared}
     """
+    )
 
 
 def _sql_dedup_embedding(
@@ -1500,6 +1538,7 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         """,
         "doc_fingerprints": _sql_doc_fingerprints(),
+        "fingerprint_pairs": _sql_fingerprint_pairs(min_shared=5, max_df=64),
         "dedup_embedding": _sql_dedup_embedding(
             threshold_milli=990, num_centroids=8, iters=1
         ),

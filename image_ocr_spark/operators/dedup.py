@@ -375,3 +375,41 @@ def with_fingerprints(
         F.col(id_col),
         F.explode(winnow_fingerprints_col(t, k, w, max_chars)).alias("fp"),
     )
+
+
+def fingerprint_match_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 5,
+    max_df: int = DEFAULT_SHINGLE_MAX_DF,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing >= min_shared winnowed
+    fingerprints — the MOSS-style local-match detector over the rolling-hash
+    fingerprints.  Same scale shape as ngram_jaccard_pairs: fingerprints
+    with document frequency > max_df are dropped before the candidate join
+    so corpus-common fragments (boilerplate) cannot create hot keys."""
+    fps = with_fingerprints(docs, id_col, text_col, k, w)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    rare_fps = fps.join(rare, "fp")
+    a = rare_fps.alias("a")
+    b = rare_fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

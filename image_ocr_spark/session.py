@@ -9,6 +9,7 @@ local-mode-specific except the master default.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -34,6 +35,11 @@ ENGINE_CONFS = {
     "spark.sql.parquet.compression.codec": "zstd",
     # timestamps in fixtures are UTC
     "spark.sql.session.timeZone": "UTC",
+    # bucketed-table warehouse (in-memory catalog): keep it off the repo cwd
+    # in local mode; a cluster deployment overrides via spark-submit --conf
+    "spark.sql.warehouse.dir": os.path.join(
+        tempfile.gettempdir(), "image_ocr_spark-warehouse"
+    ),
 }
 
 
