@@ -41,14 +41,14 @@ def _sf_tag() -> str:
     return SF_DIR.rstrip("/").split("/")[-1]
 
 
-def pages_path() -> str:
-    return os.path.join(CACHE_ROOT, f"pages_{_sf_tag()}_x{REPLICAS}")
+def pages_path(replicas: int = REPLICAS) -> str:
+    return os.path.join(CACHE_ROOT, f"pages_{_sf_tag()}_x{replicas}")
 
 
-def prepare_pages() -> dict:
+def prepare_pages(replicas: int = REPLICAS) -> dict:
     """Synthesize + persist the page corpus once (outside timed runs),
     mirroring the real deployment where pages already sit in a table."""
-    path = pages_path()
+    path = pages_path(replicas)
     meta_path = path + ".meta.json"
     if not os.path.exists(meta_path):
         from image_ocr_spark.operators.generate import generate_pages
@@ -57,7 +57,7 @@ def prepare_pages() -> dict:
 
         spark = get_spark("local[*]", app_name="bench-prep", shuffle_partitions=32)
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        pages = generate_pages(docs, replicas=REPLICAS)
+        pages = generate_pages(docs, replicas=replicas)
         # written partitioned like a crawl: salted by url hash
         pages.repartition(64, F.xxhash64("url")).write.mode("overwrite").parquet(path)
         stats = (
@@ -148,10 +148,16 @@ class PinnedWorker:
     def wait_ready(self) -> None:
         self._read_json("ready")
 
-    def ask(self) -> float:
+    def go(self) -> None:
         self.p.stdin.write("go\n")
         self.p.stdin.flush()
+
+    def read_t(self) -> float:
         return float(self._read_json("t")["t"])
+
+    def ask(self) -> float:
+        self.go()
+        return self.read_t()
 
     def close(self) -> None:
         try:
@@ -183,18 +189,39 @@ def main() -> None:
     lo_w.wait_ready()
     hi_w.wait_ready()
     best = {LO: float("inf"), HI: float("inf")}
+    pair_effs = []
     deadline = time.time() + BUDGET_S
     passes = 0
+    ratio = HI // LO
     while passes < 3 or (time.time() < deadline and passes < 10):
-        best[LO] = min(best[LO], lo_w.ask())
-        best[HI] = min(best[HI], hi_w.ask())
+        # SAME input, SAME noise window: one lo pass runs on its cores
+        # while `ratio` hi passes run back-to-back on the disjoint hi
+        # cores — the two measurements cover the same ~45 s of wall clock,
+        # so one pair's efficiency cannot straddle an external load shift.
+        # (Sequential alternation swung pair ratios 0.45-0.95 from tenant
+        # load drift alone; windows MUST coincide on this shared host.)
+        lo_w.go()
+        hi_ts = [hi_w.ask() for _ in range(ratio)]
+        t_lo = lo_w.read_t()
+        best[LO] = min(best[LO], t_lo)
+        best[HI] = min(best[HI], min(hi_ts))
+        # throughput_hi / throughput_lo / (HI/LO)
+        #   = (ratio*docs/sum(hi_ts)) / (docs/t_lo) / ratio
+        #   = t_lo / sum(hi_ts)  — the hi side even eats its inter-pass
+        # gaps, so the estimate is conservative.  Median of pairs, never a
+        # best-of across windows.
+        pair_effs.append(t_lo / sum(hi_ts))
         passes += 1
     lo_w.close()
     hi_w.close()
+    pair_effs.sort()
+    eff_median = pair_effs[len(pair_effs) // 2] if len(pair_effs) % 2 else (
+        (pair_effs[len(pair_effs) // 2 - 1] + pair_effs[len(pair_effs) // 2]) / 2
+    )
 
     docs, mbytes = meta["docs"], meta["bytes"] / 1e6
     dps_lo, dps_hi = docs / best[LO], docs / best[HI]
-    eff = (dps_hi / dps_lo) / (HI / LO)
+    best_eff = (dps_hi / dps_lo) / (HI / LO)  # cross-window, reported for reference
     result = {
         "metric": f"flagship_extract_{_sf_tag()}_pinned{HI}cpu_wall",
         "value": round(best[HI], 3),
@@ -211,7 +238,9 @@ def main() -> None:
         "mb_per_sec_lo": round(mbytes / best[LO], 2),
         "mb_per_sec": round(mbytes / best[HI], 2),
         "scaling_pair": [LO, HI],
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round(eff_median, 3),
+        "scaling_efficiency_bestof": round(best_eff, 3),
+        "scaling_pair_samples": [round(e, 3) for e in pair_effs],
     }
     print(json.dumps(result))
 
