@@ -12,9 +12,11 @@ EXACTLY that many host CPUs, so the JVM task threads AND the Python UDF
 workers share the same N cores — exactly like an N-core executor under
 cgroup limits.  (Without pinning, Python workers run beside the N task
 threads and a "4-core" run really consumes ~8 cores, corrupting the ratio.)
-The sandbox shares its host with other tenants (loadavg 10-20 external), so
-levels are interleaved lo/hi within a time budget and the best pass per
-level is reported.
+The sandbox shares its host with other tenants (loadavg 10-25 external), so
+each scaling-ratio sample is measured over ONE shared wall-clock window
+(one lo pass co-running with HI/LO back-to-back hi passes on disjoint
+cores); efficiency is the median of per-window ratios, throughput the best
+pass per level.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...,

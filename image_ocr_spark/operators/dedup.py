@@ -9,8 +9,10 @@ Scale design:
 - Shuffles happen only where semantically required: LSH band bucketing
   (groupBy band key — bounded fan-in per bucket), candidate-pair
   verification (equi-join on shingle hash), exact dedup (groupBy hash).
-- All hash primitives are md5-prefix based so the DuckDB oracle computes
-  bit-identical values (xxhash64/murmur differ across engines; md5 doesn't).
+- Hash primitives are engine-portable: md5-prefix for token/shingle
+  hashes (xxhash64/murmur differ across engines; md5 doesn't) and a
+  codepoint Rabin-Karp polynomial for the winnowed fingerprints — both
+  produce bit-identical values in Spark, DuckDB, and Python.
 
 Determinism: "random" minhash permutations are fixed affine maps
 (A[i]*h + B[i]) mod P with constants derived from small primes — embedded
