@@ -17,6 +17,14 @@ Scale design:
 Determinism: "random" minhash permutations are fixed affine maps
 (A[i]*h + B[i]) mod P with constants derived from small primes — embedded
 as literals in both engines.
+
+Algorithms: MinHash resemblance sketches (Broder, "On the resemblance and
+containment of documents", SEQUENCES 1997) with banded LSH (Leskovec/
+Rajaraman/Ullman, MMDS ch.3); SimHash (Charikar, "Similarity estimation
+techniques from rounding algorithms", STOC 2002) with the pigeonhole
+chunk-bucket candidate scheme of Manku et al., "Detecting near-duplicates
+for web crawling", WWW 2007; winnowed fingerprints per Schleimer/Wilkerson/
+Aiken, SIGMOD 2003.
 """
 
 from __future__ import annotations

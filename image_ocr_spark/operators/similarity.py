@@ -20,6 +20,11 @@ Determinism across engines and partitionings:
   trained centroids are bit-identical regardless of shuffle order — the
   property that makes a closed-form SQL oracle possible at all.
 
+IVF follows the inverted-file design of Sivic/Zisserman ("Video Google",
+ICCV 2003) as popularized for ANN by Jegou et al. ("Product quantization
+for nearest neighbor search", TPAMI 2011) — minus PQ compression, which a
+Spark column store does not need for pruning.
+
 At 100 TB: centroids are O(k*dim) — always broadcast; corpus assignment is
 one streaming pass; the per-iteration centroid update reduces to k*dim
 partial-aggregated rows, so Lloyd iterations cost one scan each.  A real
