@@ -1063,9 +1063,9 @@ def _sql_doc_fingerprints() -> str:
     )
 
 
-def _sql_fingerprint_pairs(min_shared: int, max_df: int) -> str:
-    from image_ocr_spark.operators.dedup import DEFAULT_SHINGLE_MAX_DF  # noqa: F401
-
+def _sql_fingerprint_pairs(
+    min_shared: int, max_df: int = DEFAULT_SHINGLE_MAX_DF
+) -> str:
     return (
         "WITH "
         + _SQL_CORPUS
@@ -1538,7 +1538,7 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         """,
         "doc_fingerprints": _sql_doc_fingerprints(),
-        "fingerprint_pairs": _sql_fingerprint_pairs(min_shared=5, max_df=64),
+        "fingerprint_pairs": _sql_fingerprint_pairs(min_shared=5),
         "dedup_embedding": _sql_dedup_embedding(
             threshold_milli=990, num_centroids=8, iters=1
         ),

@@ -124,12 +124,14 @@ class PinnedWorker:
     """Pinned subprocess running `worker`; one timed pass per ask()."""
 
     def __init__(self, threads: int, cores: str, path: str):
-        self.errlog = os.path.join(CACHE_ROOT, f"worker-{threads}.stderr")
+        tag = cores.replace("-", "_")
+        self.errlog = os.path.join(CACHE_ROOT, f"worker-{threads}-{tag}.stderr")
+        self._errfh = open(self.errlog, "w")
         self.p = subprocess.Popen(
             ["taskset", "-c", cores, sys.executable,
              os.path.abspath(__file__), "--worker", str(threads), path],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=open(self.errlog, "w"), text=True, bufsize=1,
+            stderr=self._errfh, text=True, bufsize=1,
         )
 
     def _read_json(self, key: str) -> dict:
@@ -167,6 +169,8 @@ class PinnedWorker:
             self.p.wait(timeout=30)
         except Exception:
             self.p.kill()
+        finally:
+            self._errfh.close()
 
 
 def main() -> None:
@@ -182,7 +186,8 @@ def main() -> None:
     # Needs LO+HI host cpus; on smaller hosts fall back to overlapping
     # 0-based ranges (the r01 layout) rather than failing at taskset exec.
     ncpu = os.cpu_count() or 1
-    if ncpu >= LO + HI:
+    disjoint = ncpu >= LO + HI
+    if disjoint:
         lo_cores, hi_cores = f"0-{LO - 1}", f"{LO}-{LO + HI - 1}"
     else:
         lo_cores, hi_cores = f"0-{LO - 1}", f"0-{min(HI, ncpu) - 1}"
@@ -194,7 +199,7 @@ def main() -> None:
     pair_effs = []
     deadline = time.time() + BUDGET_S
     passes = 0
-    ratio = HI // LO
+    ratio = max(1, HI // LO)
     while passes < 3 or (time.time() < deadline and passes < 10):
         # SAME input, SAME noise window: one lo pass runs on its cores
         # while `ratio` hi passes run back-to-back on the disjoint hi
@@ -202,17 +207,24 @@ def main() -> None:
         # so one pair's efficiency cannot straddle an external load shift.
         # (Sequential alternation swung pair ratios 0.45-0.95 from tenant
         # load drift alone; windows MUST coincide on this shared host.)
-        lo_w.go()
-        hi_ts = [hi_w.ask() for _ in range(ratio)]
-        t_lo = lo_w.read_t()
+        # On hosts too small for disjoint sets the workers share cores, so
+        # they must run SEQUENTIALLY — co-running would inflate t_lo and
+        # overstate the efficiency.
+        if disjoint:
+            lo_w.go()
+            hi_ts = [hi_w.ask() for _ in range(ratio)]
+            t_lo = lo_w.read_t()
+        else:
+            t_lo = lo_w.ask()
+            hi_ts = [hi_w.ask() for _ in range(ratio)]
         best[LO] = min(best[LO], t_lo)
         best[HI] = min(best[HI], min(hi_ts))
         # throughput_hi / throughput_lo / (HI/LO)
-        #   = (ratio*docs/sum(hi_ts)) / (docs/t_lo) / ratio
-        #   = t_lo / sum(hi_ts)  — the hi side even eats its inter-pass
-        # gaps, so the estimate is conservative.  Median of pairs, never a
-        # best-of across windows.
-        pair_effs.append(t_lo / sum(hi_ts))
+        #   = (ratio*docs/sum(hi_ts)) / (docs/t_lo) / (HI/LO)
+        # (== t_lo/sum(hi_ts) when HI is an exact multiple of LO); the hi
+        # side even eats its inter-pass gaps, so the estimate is
+        # conservative.  Median of pairs, never a best-of across windows.
+        pair_effs.append((ratio * t_lo / sum(hi_ts)) / (HI / LO))
         passes += 1
     lo_w.close()
     hi_w.close()

@@ -35,10 +35,14 @@ def write_bucketed(
     forgets tables between sessions while their directories persist."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # stale-location cleanup only for simple default-db names whose layout
+    # (warehouse/<name>) we know; db-qualified tables live under <db>.db/
+    # and are left to DROP TABLE
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
-    if loc and os.path.isdir(loc):
-        shutil.rmtree(loc)
+    if warehouse and "." not in table:
+        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
     (
         df.write.mode("overwrite")
         .format("parquet")

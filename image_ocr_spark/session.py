@@ -36,9 +36,10 @@ ENGINE_CONFS = {
     # timestamps in fixtures are UTC
     "spark.sql.session.timeZone": "UTC",
     # bucketed-table warehouse (in-memory catalog): keep it off the repo cwd
-    # in local mode; a cluster deployment overrides via spark-submit --conf
+    # in local mode and per-user so concurrent runs on a shared host don't
+    # clobber each other; a cluster deployment overrides via --conf
     "spark.sql.warehouse.dir": os.path.join(
-        tempfile.gettempdir(), "image_ocr_spark-warehouse"
+        tempfile.gettempdir(), f"image_ocr_spark-warehouse-{os.getuid()}"
     ),
 }
 

@@ -73,6 +73,8 @@ def _dedup_fn(
     for pdf in pdfs:
         if len(pdf):
             cand = pdf["warc_ts"].min()
+            if pd.isna(cand):
+                continue  # all-null chunk must not poison first_ts with NaT
             if first_ts is None or cand < first_ts:
                 first_ts = cand
     state.update((1,))

@@ -118,8 +118,11 @@ def test_brute_force_knn_broadcasts_queries(spark):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = _formatted(brute_force_topk(emb, emb.filter(F.col("vec_id") < 4), k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # the only allowed exchange on the corpus path is the window's top-k
-    # partitioning by query_id (post-similarity, k rows per query survive)
+    # the only allowed corpus-path exchange is the window's top-k hash
+    # partitioning by query_id (post-similarity); bound it so a regression
+    # that repartitions the corpus pre-join cannot slip through
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 1, plan
 
 
 def test_ngram_candidate_join_on_shingle_hash(spark, documents):
