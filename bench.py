@@ -43,8 +43,12 @@ def _sf_tag() -> str:
     return SF_DIR.rstrip("/").split("/")[-1]
 
 
+# bump when generate_pages output bytes change (r3: Flate-compressed PDFs)
+CORPUS_REV = "r3"
+
+
 def pages_path(replicas: int = REPLICAS) -> str:
-    return os.path.join(CACHE_ROOT, f"pages_{_sf_tag()}_x{replicas}")
+    return os.path.join(CACHE_ROOT, f"pages_{_sf_tag()}_{CORPUS_REV}_x{replicas}")
 
 
 def prepare_pages(replicas: int = REPLICAS) -> dict:
@@ -190,7 +194,9 @@ def main() -> None:
     if disjoint:
         lo_cores, hi_cores = f"0-{LO - 1}", f"{LO}-{LO + HI - 1}"
     else:
-        lo_cores, hi_cores = f"0-{LO - 1}", f"0-{min(HI, ncpu) - 1}"
+        # clamp BOTH ranges on small hosts (a 2-cpu host must not taskset 0-3)
+        lo_cores = f"0-{min(LO, ncpu) - 1}"
+        hi_cores = f"0-{min(HI, ncpu) - 1}"
     lo_w = PinnedWorker(LO, lo_cores, path)
     hi_w = PinnedWorker(HI, hi_cores, path)
     lo_w.wait_ready()

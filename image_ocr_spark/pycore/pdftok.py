@@ -6,24 +6,35 @@ producing the same node schema as the HTML tokenizer, so the downstream
 pipeline is format-agnostic (SURVEY.md §2.10 X2 strategy split).
 
 Scope is bounded exactly like the reference bounds itself to what Tesseract
-can see: we parse only the PDFs our fixture generator emits — single xref,
-uncompressed content streams, text ops:
+can see: single xref, raw or FlateDecode content streams, text ops:
 
   BT ... ET         text object
   (string) Tj       show string
   [(a) -120 (b)] TJ show array
   Td / TD / T*      -> line break
 
-Escapes \\( \\) \\\\ \\n and octal \\ddd are handled.  Anything unparseable
-yields zero nodes (never raises) and the caller records a warning.
+FlateDecode (zlib) streams — what nearly every real-world PDF ships
+(VERDICT r02 missing #1) — are inflated with a hard output cap so a
+crafted decompression bomb cannot blow out an executor (the stream is
+skipped instead; never-raise policy).  Escapes \\( \\) \\\\ \\n and octal
+\\ddd are handled.  Anything unparseable yields zero nodes (never raises)
+and the caller records a warning.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 from typing import Dict, List
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+# stream with its preceding dictionary: << /Length n [/Filter /FlateDecode] >>
+_DICT_STREAM_RE = re.compile(rb"<<((?:[^<>]|<<[^<>]*>>)*?)>>\s*stream\r?\n(.*?)endstream", re.S)
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+
+# inflate cap: a content stream that claims more than this is either not a
+# text page or a zip bomb — skip it rather than OOM a worker (64 KB of text
+# ops is ~3000 lines, far beyond any fixture or sane invoice)
+MAX_INFLATED_BYTES = 1 << 22  # 4 MiB
 _TEXTOBJ_RE = re.compile(rb"BT(.*?)ET", re.S)
 # one operator token at a time inside a text object
 _OP_RE = re.compile(
@@ -64,6 +75,22 @@ def _unescape_pdf_string(body: bytes) -> bytes:
     return bytes(out)
 
 
+def _stream_bodies(raw: bytes):
+    """Decoded content-stream bodies: raw for uncompressed streams, inflated
+    (bounded) for /FlateDecode; undecodable streams are skipped."""
+    for m in _DICT_STREAM_RE.finditer(raw):
+        sdict, body = m.group(1), m.group(2)
+        if _FLATE_RE.search(sdict):
+            try:
+                d = zlib.decompressobj()
+                body = d.decompress(body, MAX_INFLATED_BYTES)
+                if d.unconsumed_tail:
+                    continue  # over the cap: bomb or not a text stream
+            except zlib.error:
+                continue
+        yield body
+
+
 def tokenize_pdf(raw: bytes) -> List[Dict]:
     """PDF bytes -> node dicts with the same fields as tokenize_html.
 
@@ -80,8 +107,8 @@ def tokenize_pdf(raw: bytes) -> List[Dict]:
             lines.append(b"".join(cur))
             cur = []
 
-    for stream in _STREAM_RE.finditer(raw):
-        for textobj in _TEXTOBJ_RE.finditer(stream.group(1)):
+    for stream in _stream_bodies(raw):
+        for textobj in _TEXTOBJ_RE.finditer(stream):
             for op in _OP_RE.finditer(textobj.group(0)):
                 tok = op.group(0)
                 if tok.endswith(b"Tj"):
@@ -117,10 +144,13 @@ def is_pdf(raw: bytes) -> bool:
     return raw[:5] == b"%PDF-"
 
 
-def make_pdf(lines: List[str]) -> bytes:
-    """Deterministic minimal single-page PDF with one uncompressed content
-    stream — the fixture generator's PDF writer (UTF-8 text in Tj strings;
-    parseable by tokenize_pdf; also a structurally valid PDF)."""
+def make_pdf(lines: List[str], compress: bool = True) -> bytes:
+    """Deterministic minimal single-page PDF — the fixture generator's PDF
+    writer (UTF-8 text in Tj strings; parseable by tokenize_pdf; also a
+    structurally valid PDF).  ``compress=True`` (default) Flate-encodes the
+    content stream the way real-world PDFs do (zlib level 6, deterministic
+    output for a given zlib version); ``compress=False`` keeps the raw
+    stream for the uncompressed-branch tests."""
     esc = lambda s: s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
     ops = ["BT", "/F1 12 Tf", "72 720 Td"]
     for i, line in enumerate(lines):
@@ -129,12 +159,23 @@ def make_pdf(lines: List[str]) -> bytes:
         ops.append(f"({esc(line)}) Tj")
     ops.append("ET")
     content = "\n".join(ops).encode("utf-8")
+    if compress:
+        content = zlib.compress(content, 6)
+        stream_obj = (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(content), content)
+        )
+    else:
+        stream_obj = b"<< /Length %d >>\nstream\n%s\nendstream" % (
+            len(content),
+            content,
+        )
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        stream_obj,
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
     out = bytearray(b"%PDF-1.4\n")
