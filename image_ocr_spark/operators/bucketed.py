@@ -14,6 +14,7 @@ points spark.sql.warehouse.dir / the catalog at its metastore instead.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,11 +38,14 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # stale-location cleanup only for simple default-db names whose layout
     # (warehouse/<name>) we know; db-qualified tables live under <db>.db/
-    # and are left to DROP TABLE
+    # and are left to DROP TABLE.  The rmtree target is derived from a
+    # caller-supplied name, so the name must be a bare identifier AND the
+    # resolved path must stay inside the warehouse (no '../x' escapes).
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse and "." not in table:
-        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
-        if os.path.isdir(loc):
+    if warehouse and re.fullmatch(r"\w+", table):
+        wroot = os.path.realpath(warehouse.removeprefix("file:"))
+        loc = os.path.realpath(os.path.join(wroot, table.lower()))
+        if os.path.commonpath([wroot, loc]) == wroot and os.path.isdir(loc):
             shutil.rmtree(loc)
     (
         df.write.mode("overwrite")
