@@ -678,6 +678,35 @@ def q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window crawl-rate rollup (streaming/stateful.py
+    windowed_page_counts) replayed in batch — the SAME operator runs on a
+    streaming DataFrame with a watermark (plan identity asserted in
+    tests/test_streaming_stateful.py).  Epoch-second window starts so the
+    value hash is timezone-proof."""
+    from image_ocr_spark.streaming.stateful import windowed_page_counts
+
+    w = windowed_page_counts(_pages(spark, sf_dir))
+    return w.select(
+        F.col("win_start").cast("long").alias("win_start_epoch"),
+        "lang",
+        "n_pages",
+    )
+
+
+def q_stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-micro-batch url dedup via applyInPandasWithState, driven as a
+    REAL streaming job (two identical crawl files, maxFilesPerTrigger=1 =>
+    two micro-batches; the second is fully suppressed by GroupState).
+    Output: one row per distinct url with its first-seen timestamp."""
+    from image_ocr_spark.streaming.stateful import dedup_first_seen_replay
+
+    out = dedup_first_seen_replay(spark, _pages(spark, sf_dir), copies=2)
+    return out.select(
+        "url", F.col("first_ts").cast("long").alias("first_ts_epoch")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": q_flagship,
@@ -719,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_pairs": q_fingerprint_pairs,
         "dedup_embedding": q_dedup_embedding,
         "ivf_recall": q_ivf_recall,
+        "stream_window_counts": q_stream_window_counts,
+        "stream_dedup_first_seen": q_stream_dedup_first_seen,
     }
 
 
@@ -1664,6 +1695,22 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall": _sql_ivf_recall(
             k=5, num_centroids=12, iters=2, nprobe=8, nq=16
         ),
+        # tumbling 10-min windows over warc_ts = 1704067200 + (doc_id%1e5)*60
+        # (fixtures/gen_pages.warc_ts_for); lang defaults to 'en' in build_page
+        "stream_window_counts": """
+            SELECT ((1704067200 + (doc_id % 100000) * 60) // 600 * 600)::BIGINT
+                     AS win_start_epoch,
+                   coalesce(lang, 'en') AS lang,
+                   count(*) AS n_pages
+            FROM documents GROUP BY 1, 2
+        """,
+        # one row per distinct url; first_ts = the page's warc_ts (both
+        # replayed crawls carry the same timestamps, so batch order is moot)
+        "stream_dedup_first_seen": f"""
+            SELECT {_SQL_URL} AS url,
+                   (1704067200 + (doc_id % 100000) * 60)::BIGINT AS first_ts_epoch
+            FROM documents
+        """,
         "engine_stats": _PAGE_CTE + """
             SELECT CASE WHEN doc_id % 10 = 8 THEN 'pdf' ELSE 'html' END AS engine,
                    count(*) AS n_docs,

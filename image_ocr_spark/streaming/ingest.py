@@ -14,6 +14,11 @@ replays the batch.  The sink therefore partitions output by ``_batch_id``
 and writes with DYNAMIC partition overwrite: a replayed batch rewrites only
 its own partition, so duplicates cannot survive a replay.  (Replays reuse
 the same batch_id — that is the Structured Streaming contract.)
+
+SCHEMA NOTE (ADVICE r02): the idempotency partition column means the
+streaming output carries one extra column (``_batch_id``) over the batch
+``extract_pages`` output.  Schema-sensitive consumers must read through
+``read_extracted`` below, which drops it and returns the batch shape.
 """
 
 from __future__ import annotations
@@ -60,6 +65,13 @@ def make_batch_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
         )
 
     return process
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Streaming-ingest output in the BATCH extract_pages shape: the
+    ``_batch_id`` idempotency partition column is an implementation detail
+    of the sink and is dropped here."""
+    return spark.read.parquet(out_dir).drop(BATCH_COL)
 
 
 def run_ingest(

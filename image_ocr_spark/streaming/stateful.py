@@ -78,8 +78,16 @@ def _dedup_fn(
             if first_ts is None or cand < first_ts:
                 first_ts = cand
     state.update((1,))
-    if first_ts is not None:
-        yield pd.DataFrame({"url": [key[0]], "first_ts": [first_ts]})
+    # ALWAYS exactly one output row per distinct url — a url whose first
+    # batch carried only null timestamps emits (url, null) rather than
+    # vanishing forever (ADVICE r02: state.update without an emission
+    # permanently suppressed the url)
+    yield pd.DataFrame(
+        {
+            "url": pd.Series([key[0]], dtype="object"),
+            "first_ts": pd.Series([first_ts], dtype="datetime64[ns]"),
+        }
+    )
 
 
 def dedup_first_seen(pages: DataFrame) -> DataFrame:
@@ -96,3 +104,41 @@ def dedup_first_seen(pages: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_first_seen_replay(
+    spark, pages: DataFrame, copies: int = 2
+) -> DataFrame:
+    """Batch-replay harness for the driver's correctness gate (VERDICT r02
+    item 4): materialize `copies` identical crawls of `pages` as separate
+    files, drain them through the REAL streaming dedup (maxFilesPerTrigger=1
+    forces >= `copies` micro-batches, so the cross-batch GroupState path is
+    exercised, not a single-batch degenerate), and return the parquet sink's
+    content as a batch DataFrame.  Fresh temp dirs per call keep the replay
+    idempotent (a reused checkpoint would suppress every url)."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="dedup_replay_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ck = os.path.join(base, "ck")
+    p = pages.select("url", F.col("warc_ts").cast("timestamp").alias("warc_ts"))
+    for _ in range(copies):
+        p.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_first_seen(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)

@@ -85,7 +85,7 @@ def test_checkpoint_rerun_is_noop(spark, pages, tmp_path):
 
 
 def test_streaming_ingest_matches_batch(spark, pages, tmp_path):
-    from image_ocr_spark.streaming.ingest import run_ingest
+    from image_ocr_spark.streaming.ingest import read_extracted, run_ingest
 
     pages_dir = str(tmp_path / "pages")
     out_dir = str(tmp_path / "out")
@@ -93,7 +93,10 @@ def test_streaming_ingest_matches_batch(spark, pages, tmp_path):
     pages.write.parquet(pages_dir)
 
     run_ingest(spark, pages_dir, out_dir, ck_dir, available_now=True)
-    streamed = {r.url: r.text for r in spark.read.parquet(out_dir).collect()}
+    ext = read_extracted(spark, out_dir)
+    # the canonical reader returns the BATCH schema (no _batch_id leak)
+    assert sorted(ext.columns) == sorted(extract_pages(pages).columns)
+    streamed = {r.url: r.text for r in ext.collect()}
     batch = {r.url: r.text for r in extract_pages(pages).collect()}
     assert streamed == batch
 

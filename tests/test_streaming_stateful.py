@@ -56,6 +56,47 @@ def test_windowed_counts_stream_equals_batch(spark, small_pages, tmp_path):
     assert streamed.items() <= batch.items()
 
 
+def test_dedup_null_ts_url_still_emits_once(spark, tmp_path):
+    """ADVICE r02: a url whose FIRST batch carries only null warc_ts must
+    emit (url, null) — not vanish forever — and stay suppressed after."""
+    pages_dir = str(tmp_path / "pages")
+    os.makedirs(pages_dir)
+    out_dir, ck_dir = str(tmp_path / "out"), str(tmp_path / "ck")
+    ddl = "url string, warc_ts timestamp"
+
+    # batch 1: url X with null ts only
+    spark.createDataFrame([("https://x/1", None)], ddl).write.mode(
+        "append"
+    ).parquet(pages_dir)
+    stream = spark.readStream.schema(ddl).parquet(pages_dir)
+    _drain(dedup_first_seen(stream), out_dir, ck_dir, "append")
+    rows = spark.read.parquet(out_dir).collect()
+    assert [(r.url, r.first_ts) for r in rows] == [("https://x/1", None)]
+
+    # batch 2: same url now WITH a timestamp -> still suppressed (first wins)
+    spark.createDataFrame(
+        [("https://x/1", "2024-01-01 00:00:00")], "url string, warc_ts string"
+    ).selectExpr("url", "warc_ts::timestamp AS warc_ts").write.mode(
+        "append"
+    ).parquet(pages_dir)
+    stream2 = spark.readStream.schema(ddl).parquet(pages_dir)
+    _drain(dedup_first_seen(stream2), out_dir, ck_dir, "append")
+    rows2 = spark.read.parquet(out_dir).collect()
+    assert len(rows2) == 1 and rows2[0].first_ts is None
+
+
+def test_dedup_replay_harness_suppresses_second_crawl(spark, small_pages):
+    """The driver-query replay harness: 2x identical crawls through >= 2
+    micro-batches -> exactly one row per distinct url."""
+    from image_ocr_spark.streaming.stateful import dedup_first_seen_replay
+
+    out = dedup_first_seen_replay(spark, small_pages, copies=2)
+    rows = out.collect()
+    urls = [r.url for r in rows]
+    assert len(urls) == len(set(urls)) == small_pages.count()
+    assert all(r.first_ts is not None for r in rows)
+
+
 def test_dedup_first_seen_across_batches(spark, small_pages, tmp_path):
     """A url seen in micro-batch 1 must not be re-emitted by micro-batch 2
     (GroupState persists in the checkpoint across separate drains)."""
