@@ -678,6 +678,21 @@ def q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 engine-strategy registry (ref pipeline.py:120-146 set_engine +
+    fallback): force engine='pdf' over the mixed corpus — pdf pages parse
+    natively, html pages fall back through the registry to the html
+    tokenizer, pages no engine can tokenize report 'none'.  Output is the
+    per-row fallback ledger aggregated per (requested, used) pair."""
+    from image_ocr_spark.operators.tokenize import tokenize_packed
+
+    toks = tokenize_packed(_pages(spark, sf_dir), engine="pdf")
+    return toks.groupBy(
+        F.lit("pdf").alias("requested_engine"),
+        F.col("engine").alias("used_engine"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window crawl-rate rollup (streaming/stateful.py
     windowed_page_counts) replayed in batch — the SAME operator runs on a
@@ -750,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "stream_window_counts": q_stream_window_counts,
         "stream_dedup_first_seen": q_stream_dedup_first_seen,
+        "engine_fallback": q_engine_fallback,
     }
 
 
@@ -1702,6 +1718,18 @@ def oracle_sql() -> dict[str, str]:
                      AS win_start_epoch,
                    coalesce(lang, 'en') AS lang,
                    count(*) AS n_pages
+            FROM documents GROUP BY 1, 2
+        """,
+        # forced-pdf strategy: pdf pages (k=8) parse natively; html pages
+        # fall back to the html tokenizer; only the whitespace edge kind
+        # (%30=19) yields zero nodes from EVERY engine -> 'none' (the empty
+        # kind %30=9 still has a <title> node, so html claims it)
+        "engine_fallback": """
+            SELECT 'pdf' AS requested_engine,
+                   CASE WHEN doc_id % 10 = 8 THEN 'pdf'
+                        WHEN doc_id % 10 = 9 AND doc_id % 30 = 19 THEN 'none'
+                        ELSE 'html' END AS used_engine,
+                   count(*) AS n_docs
             FROM documents GROUP BY 1, 2
         """,
         # one row per distinct url; first_ts = the page's warc_ts (both

@@ -35,15 +35,27 @@ def salt_repartition(pages: DataFrame, num_partitions: int | None = None) -> Dat
     return pages.repartition(key)
 
 
-def extract_pages(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def extract_pages(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    engine: str = "auto",
+    salt: bool = True,
+) -> DataFrame:
     """pages(url, html[, doc_id]) -> one extraction row per url.
 
     Output: url, doc_id, engine, text, title, n_nodes, n_content_nodes,
     doc_type, receipt_score_centi, invoice_score_centi.
     Pages yielding zero nodes (empty/broken) come back with text='' —
     never-raise semantics (ref pipeline.py:251-271).
+
+    ``engine`` is the pipeline-level strategy switch (ref set_engine,
+    pipeline.py:120-146): 'auto' picks per row by magic bytes, a named
+    engine forces it with per-row registry fallback.  ``salt=False``
+    bypasses the skew-defusing repartition — ONLY for the bench's
+    skew-evidence mode; production always salts.
     """
-    pages = salt_repartition(pages, num_partitions)
-    packed = tokenize_packed(pages)  # one row per document, nodes inline
+    if salt:
+        pages = salt_repartition(pages, num_partitions)
+    packed = tokenize_packed(pages, engine=engine)  # one row per doc
     per_url = extract_text_packed(packed)  # per-row exprs, NO shuffle
     return classify_df(per_url, "text")

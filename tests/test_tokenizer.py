@@ -120,6 +120,40 @@ def test_pdf_garbage_yields_no_nodes():
     assert tokenize_pdf(b"%PDF-1.4 then nothing sensible") == []
 
 
+def test_engine_registry_and_fallback():
+    """X2 strategy registry: availability probe, forced engine, per-row
+    fallback chain, and 'none' when no engine yields nodes."""
+    from image_ocr_spark.pycore.pdftok import make_pdf
+    from image_ocr_spark.operators.tokenize import (
+        _run_engine,
+        available_engines,
+        detect_engine,
+    )
+
+    assert available_engines() == ["html", "pdf"]
+    html = b"<p>hello world from the html branch</p>"
+    pdf = make_pdf(["hello pdf"])
+    assert detect_engine(html) == "html" and detect_engine(pdf) == "pdf"
+
+    # auto: magic bytes
+    assert _run_engine(html, "auto")[0] == "html"
+    assert _run_engine(pdf, "auto")[0] == "pdf"
+    # forced pdf on html bytes -> falls back to html, same nodes as auto
+    used, nodes = _run_engine(html, "pdf")
+    assert used == "html" and nodes == _run_engine(html, "auto")[1]
+    # forced html on pdf bytes does NOT fall back: the html tokenizer is a
+    # greedy text extractor and produces (garbage) nodes — fallback triggers
+    # only when the forced engine yields nothing; that is the documented
+    # asymmetry of output-based (not quality-based) fallback
+    assert _run_engine(pdf, "html")[0] == "html"
+    # nothing tokenizes an empty body under a forced engine -> 'none'
+    used, nodes = _run_engine(b"<html><body></body></html>", "pdf")
+    assert used == "none" and nodes[0]["tag_class"] == "empty"
+    # null payload under a forced engine -> 'none'; under auto -> html
+    assert _run_engine(None, "pdf")[0] == "none"
+    assert _run_engine(None, "auto")[0] == "html"
+
+
 def test_pdf_flate_matches_uncompressed():
     """FlateDecode branch (VERDICT r02 missing #1): compressed and raw
     streams of the same ops tokenize identically; default is compressed."""
