@@ -81,24 +81,32 @@ def prepare_pages(replicas: int = REPLICAS) -> dict:
         return json.load(fh)
 
 
-def worker(threads: int, path: str) -> None:
+def worker(threads: int, path: str, skew: bool = False) -> None:
     """Pinned-JVM pass server: warm up, then run one timed pass per 'go'
     line on stdin (lets the coordinator interleave lo/hi passes back-to-back
-    so each compared pair samples the SAME external-noise window)."""
+    so each compared pair samples the SAME external-noise window).
+
+    In skew mode ('go:nosalt' lines) the pass bypasses salt_repartition and
+    the session treats input files as non-splittable (maxPartitionBytes
+    = 4g — the .warc.gz reality of crawl shards), so the hot-host file's
+    tokenize work lands on one task."""
     from image_ocr_spark.plans.pipeline import extract_pages
     from image_ocr_spark.session import get_spark
     from pyspark.sql import functions as F
 
+    extra = {"spark.driver.memory": "12g",
+             "spark.driver.extraJavaOptions": "-Xms12g -XX:+UseG1GC"}
+    if skew:
+        extra["spark.sql.files.maxPartitionBytes"] = "4294967296"
     spark = get_spark(
         f"local[{threads}]",
         app_name=f"bench-{threads}",
         shuffle_partitions=threads,
-        extra_conf={"spark.driver.memory": "12g",
-                    "spark.driver.extraJavaOptions": "-Xms12g -XX:+UseG1GC"},
+        extra_conf=extra,
     )
     pages = spark.read.parquet(path)
 
-    def one_pass() -> float:
+    def one_pass(salt: bool = True) -> float:
         # fresh DataFrame per pass: re-collecting one plan would silently
         # reuse its shuffle outputs and skip the heavy stages.  Catalyst
         # planning is forced BEFORE the clock starts: on a real cluster the
@@ -106,7 +114,9 @@ def worker(threads: int, path: str) -> None:
         # charged against the pinned "executor" cores (it dominated the
         # small-N serial share otherwise).  AQE runtime re-optimization
         # still happens inside the timed window.
-        df = extract_pages(pages, num_partitions=threads * 2).agg(
+        df = extract_pages(
+            pages, num_partitions=threads * 2, salt=salt
+        ).agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum(F.length("text")).alias("chars"),
         )
@@ -118,22 +128,26 @@ def worker(threads: int, path: str) -> None:
     one_pass()  # warm: JIT + codegen + python workers + page cache
     print(json.dumps({"ready": True}), flush=True)
     for line in sys.stdin:
-        if line.strip() != "go":
+        cmd = line.strip()
+        if cmd not in ("go", "go:nosalt"):
             break
-        print(json.dumps({"t": one_pass()}), flush=True)
+        print(json.dumps({"t": one_pass(salt=(cmd == "go"))}), flush=True)
     spark.stop()
 
 
 class PinnedWorker:
     """Pinned subprocess running `worker`; one timed pass per ask()."""
 
-    def __init__(self, threads: int, cores: str, path: str):
+    def __init__(self, threads: int, cores: str, path: str, skew: bool = False):
         tag = cores.replace("-", "_")
         self.errlog = os.path.join(CACHE_ROOT, f"worker-{threads}-{tag}.stderr")
         self._errfh = open(self.errlog, "w")
+        argv = ["taskset", "-c", cores, sys.executable,
+                os.path.abspath(__file__), "--worker", str(threads), path]
+        if skew:
+            argv.append("--skew")
         self.p = subprocess.Popen(
-            ["taskset", "-c", cores, sys.executable,
-             os.path.abspath(__file__), "--worker", str(threads), path],
+            argv,
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=self._errfh, text=True, bufsize=1,
         )
@@ -156,15 +170,15 @@ class PinnedWorker:
     def wait_ready(self) -> None:
         self._read_json("ready")
 
-    def go(self) -> None:
-        self.p.stdin.write("go\n")
+    def go(self, cmd: str = "go") -> None:
+        self.p.stdin.write(cmd + "\n")
         self.p.stdin.flush()
 
     def read_t(self) -> float:
         return float(self._read_json("t")["t"])
 
-    def ask(self) -> float:
-        self.go()
+    def ask(self, cmd: str = "go") -> float:
+        self.go(cmd)
         return self.read_t()
 
     def close(self) -> None:
@@ -177,9 +191,76 @@ class PinnedWorker:
             self._errfh.close()
 
 
+def prepare_skewed_pages(replicas: int) -> str:
+    """Crawl-order layout: pages clustered into files BY HOST (the way a
+    crawl actually lands), so the hot host (~30% of urls,
+    fixtures/gen_pages.HOT_HOST) sits in one fat file.  With non-splittable
+    inputs (see worker skew mode) that file is one task — the skew the
+    salted repartition exists to defuse."""
+    path = os.path.join(CACHE_ROOT, f"pages_skew_{_sf_tag()}_{CORPUS_REV}_x{replicas}")
+    if not os.path.exists(path + ".meta.json"):
+        from image_ocr_spark.operators.generate import generate_pages
+        from image_ocr_spark.session import get_spark
+        from pyspark.sql import functions as F
+
+        spark = get_spark("local[*]", app_name="bench-skew-prep", shuffle_partitions=32)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        pages = generate_pages(docs, replicas=replicas).withColumn(
+            "host", F.parse_url("url", F.lit("HOST"))
+        )
+        pages.repartition(24, "host").drop("host").write.mode("overwrite").parquet(path)
+        stats = spark.read.parquet(path).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.octet_length("html")).alias("bytes"),
+        ).first()
+        spark.stop()
+        with open(path + ".meta.json", "w") as fh:
+            json.dump({"docs": stats["docs"], "bytes": int(stats["bytes"])}, fh)
+    with open(path + ".meta.json") as fh:
+        meta = json.load(fh)
+    return path, meta
+
+
+def skew_main() -> None:
+    """Salted-vs-unsalted evidence for the north rule's skew story: same
+    corpus, same pinned cores, non-splittable host-clustered input files;
+    passes alternate salted/unsalted so both sample the same noise window."""
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    replicas = int(os.environ.get("SPARK_GRAFT_SKEW_REPLICAS", "40"))
+    path, meta = prepare_skewed_pages(replicas)
+    ncpu = os.cpu_count() or 1
+    cores = f"0-{min(HI, ncpu) - 1}"
+    w = PinnedWorker(HI, cores, path, skew=True)
+    w.wait_ready()
+    salted, unsalted = [], []
+    for _ in range(3):
+        salted.append(w.ask("go"))
+        unsalted.append(w.ask("go:nosalt"))
+    w.close()
+    s, u = min(salted), min(unsalted)
+    docs = meta["docs"]
+    print(json.dumps({
+        "metric": f"skew_demo_{_sf_tag()}_pinned{HI}cpu",
+        "unit": "sec",
+        "docs": docs,
+        "hot_host_share": 0.3,
+        "layout": "24 host-clustered files, non-splittable (maxPartitionBytes=4g)",
+        "salted_s": round(s, 3),
+        "unsalted_s": round(u, 3),
+        "salted_docs_per_sec": round(docs / s, 1),
+        "unsalted_docs_per_sec": round(docs / u, 1),
+        "salted_speedup": round(u / s, 2),
+        "salted_samples": [round(x, 3) for x in salted],
+        "unsalted_samples": [round(x, 3) for x in unsalted],
+    }))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), sys.argv[3])
+        worker(int(sys.argv[2]), sys.argv[3], skew="--skew" in sys.argv[4:])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        skew_main()
         return
     os.makedirs(CACHE_ROOT, exist_ok=True)
     meta = prepare_pages()
