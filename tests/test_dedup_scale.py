@@ -88,3 +88,87 @@ def test_ngram_jaccard_value_exact_despite_cap(spark):
     row = ngram_jaccard_pairs(docs, threshold_milli=0).collect()[0]
     # trigrams: 6 each, 5 shared -> union 7 -> 5000/7 = 714 milli
     assert (row.id_a, row.id_b, row.jaccard_milli) == (1, 2, 714)
+
+
+ADVERSARIAL_TEXTS = [
+    "",
+    " ",
+    "   ",
+    "one",
+    "one two",
+    "one two three four five",
+    "trailing space ",
+    " leading and  doubled  spaces",
+    "tab\tand\nnewline mixed",
+    "日本語 テキスト の 行 です",
+    "short",
+    "a b a b a b a b",  # repeated shingles (distinct-order check)
+    "x" * 40,            # single long token, no spaces
+]
+
+
+def _adv_df(spark):
+    rows = [(i, t) for i, t in enumerate(ADVERSARIAL_TEXTS)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_arrow_matches_expr(spark, documents):
+    """The production Arrow+numpy minhash path must be BIT-identical to the
+    JVM-expression twin (which the DuckDB oracle replays) — on the real
+    corpus and on adversarial whitespace/short/unicode strings."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.dedup import minhash_arrow, minhash_col
+
+    for df in (documents.select("doc_id", "text"), _adv_df(spark)):
+        expr = {
+            r.doc_id: list(r.sig)
+            for r in df.select(
+                "doc_id",
+                minhash_col(F.coalesce(F.col("text"), F.lit(""))).alias("sig"),
+            ).collect()
+        }
+        arrow = {
+            r.id: list(r.sig) for r in minhash_arrow(df, "doc_id", "text").collect()
+        }
+        assert arrow == expr
+
+
+def test_shingle_hashes_arrow_matches_expr(spark, documents):
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.dedup import (
+        shingle_hashes_arrow,
+        shingle_hashes_col,
+    )
+
+    for df in (documents.select("doc_id", "text"), _adv_df(spark)):
+        expr = {
+            r.doc_id: list(r.hs)
+            for r in df.select(
+                "doc_id",
+                shingle_hashes_col(F.coalesce(F.col("text"), F.lit(""))).alias("hs"),
+            ).collect()
+        }
+        arrow = {
+            r.id: list(r.hs)
+            for r in shingle_hashes_arrow(df, "doc_id", "text").collect()
+        }
+        assert arrow == expr
+
+
+def test_winnow_arrow_matches_expr(spark, documents):
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.dedup import with_fingerprints
+
+    for df in (documents.select("doc_id", "text"), _adv_df(spark)):
+        expr = sorted(
+            (r.doc_id, r.fp)
+            for r in with_fingerprints(df, impl="expr").collect()
+        )
+        arrow = sorted(
+            (r.doc_id, r.fp)
+            for r in with_fingerprints(df, impl="arrow").collect()
+        )
+        assert arrow == expr

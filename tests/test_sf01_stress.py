@@ -1,0 +1,115 @@
+"""10x-corpus stress for the candidate-pair operators (VERDICT r02 item 9):
+the df-caps and banded bucketing must hold Spark==oracle at sf0.1 (5k docs
++ 5k injected variants) in bounded wall time.
+
+Opt-in (slow, ~minutes): SPARK_GRAFT_STRESS=1 python -m pytest
+tests/test_sf01_stress.py -q -s
+Measured walls are printed per query and recorded in BASELINE.md (round 3).
+"""
+
+import math
+import os
+import time
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.1"
+STRESS = os.environ.get("SPARK_GRAFT_STRESS") == "1"
+
+PAIR_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "fingerprint_pairs",
+    "dedup_embedding",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 9)
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.skipif(not STRESS, reason="set SPARK_GRAFT_STRESS=1 (slow)")
+@pytest.mark.parametrize("name", PAIR_QUERIES)
+def test_pair_query_at_sf01(spark, duck, name):
+    q = entrymod.queries()[name]
+    t0 = time.time()
+    sdf = q(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    spark_s = time.time() - t0
+    t0 = time.time()
+    cur = duck.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    duck_s = time.time() - t0
+    print(
+        f"\n[sf0.1] {name}: rows={len(srows)} spark={spark_s:.1f}s "
+        f"oracle={duck_s:.1f}s"
+    )
+    assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)}"
+    assert _rowset(sdf.columns, srows) == _rowset(dcols, drows)
+
+
+@pytest.mark.skipif(not STRESS, reason="set SPARK_GRAFT_STRESS=1 (slow)")
+def test_dedup_embedding_sqrt_blocking_at_sf01(spark, duck):
+    """The sqrt(N)-centroid scale path at 10x corpus (C=63 for N=4000),
+    oracle-checked: the greedy init chain + Lloyd + multi-probe blocking
+    replay in DuckDB at this C too — proves the default blocking geometry,
+    not just the pinned C=8 driver query."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.dedup import VARIANT_OFFSET
+    from image_ocr_spark.operators.similarity import (
+        default_num_centroids,
+        embedding_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = 2 * emb.count()
+    c = default_num_centroids(n)
+    t0 = time.time()
+    dup = emb.select((F.col("vec_id") + VARIANT_OFFSET).alias("vec_id"), "embedding")
+    sdf = embedding_dup_pairs(
+        emb.unionByName(dup), threshold_milli=990, num_centroids=None, iters=1
+    )
+    srows = [tuple(r) for r in sdf.collect()]
+    spark_s = time.time() - t0
+    t0 = time.time()
+    cur = duck.execute(
+        entrymod._sql_dedup_embedding(
+            threshold_milli=990, num_centroids=c, iters=1, nprobe=2
+        )
+    )
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    duck_s = time.time() - t0
+    print(
+        f"\n[sf0.1] dedup_embedding_sqrtN (C={c}): rows={len(srows)} "
+        f"spark={spark_s:.1f}s oracle={duck_s:.1f}s"
+    )
+    assert len(srows) == len(drows)
+    assert _rowset(sdf.columns, srows) == _rowset(dcols, drows)
