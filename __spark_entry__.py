@@ -639,7 +639,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over a duplicate-injected corpus:
     multi-probe IVF blocking (sampled-k-means++ centroids, each vector in
     its nprobe=2 nearest cells) + exact cosine verification.  C is pinned
-    (not the sqrt(N) default) so the DuckDB oracle replays a fixed chain."""
+    at 32 ~ sqrt(N) for the sf0.01/sf0.1 corpora (the library default is
+    sqrt(N); a FIXED C keeps the DuckDB greedy-init chain replayable)."""
     from image_ocr_spark.operators.similarity import embedding_dup_pairs
 
     from image_ocr_spark.operators.dedup import VARIANT_OFFSET
@@ -651,7 +652,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(
         emb.unionByName(dup),
         threshold_milli=990,
-        num_centroids=8,
+        num_centroids=32,
         iters=1,
         nprobe=2,
     )
@@ -1727,7 +1728,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _sql_doc_fingerprints(),
         "fingerprint_pairs": _sql_fingerprint_pairs(min_shared=5),
         "dedup_embedding": _sql_dedup_embedding(
-            threshold_milli=990, num_centroids=8, iters=1, nprobe=2
+            threshold_milli=990, num_centroids=32, iters=1, nprobe=2
         ),
         "ivf_recall": _sql_ivf_recall(
             k=5, num_centroids=12, iters=2, nprobe=8, nq=16

@@ -175,6 +175,117 @@ def _assign_cells_multi(vecs: DataFrame, cents: list, nprobe: int) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Arrow+numpy twins of the assignment / pair-verify expressions.  The fold
+# cosine is replayed with SEQUENTIAL-IN-DIMENSION accumulation (acc = acc +
+# V[:,j]*c[j], j ascending) — each row's additions happen in exactly the
+# fold's order, so doubles are bitwise identical to the expression form and
+# to the DuckDB oracle; numpy only vectorizes ACROSS rows.  Spark's
+# higher-order array functions are CodegenFallback (interpreted per
+# element) — the expression assignment measured ~10x slower at sf0.1.
+# ---------------------------------------------------------------------------
+
+
+def _cos_matrix(V, cents: list):
+    """(n, C) cosine matrix of V rows against the centroid list, fold-order
+    exact (see block comment above)."""
+    import numpy as np
+
+    n, d = V.shape
+    na = np.zeros(n)
+    for j in range(d):
+        x = V[:, j]
+        na = na + x * x
+    sims = np.empty((n, len(cents)))
+    for ci, (_, cv) in enumerate(cents):
+        nc = 0.0
+        dot = np.zeros(n)
+        for j in range(d):
+            nc = nc + cv[j] * cv[j]
+            dot = dot + V[:, j] * cv[j]
+        sims[:, ci] = dot / np.sqrt(na * nc)
+    return sims
+
+
+def assign_cells_arrow(
+    vecs: DataFrame, cents: list, nprobe: int = 1
+) -> DataFrame:
+    """(vid, v, cell) via mapInArrow — vectorized twin of _assign_cells
+    (nprobe=1) / _assign_cells_multi (nprobe>1); still zero-shuffle."""
+    import pyarrow as pa
+    import numpy as np
+
+    cids = np.array([int(cid) for cid, _ in cents], dtype=np.int64)
+
+    def fn(batches):
+        for batch in batches:
+            vids = batch.column(0).to_pylist()
+            vlists = batch.column(1).to_pylist()
+            if not vids:
+                continue
+            V = np.asarray(vlists, dtype=np.float64)
+            sims = _cos_matrix(V, cents)
+            # stable argsort of -sims: sim desc, ties keep column order
+            # (= cid asc, the fold/ROW_NUMBER tiebreak)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            out_vid: list = []
+            out_v: list = []
+            out_cell: list = []
+            for i, vid in enumerate(vids):
+                for c in top[i]:
+                    out_vid.append(vid)
+                    out_v.append(vlists[i])
+                    out_cell.append(int(cids[c]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_vid, pa.int64()),
+                    pa.array(out_v, pa.list_(pa.float32())),
+                    pa.array(out_cell, pa.int64()),
+                ],
+                ["vid", "v", "cell"],
+            )
+
+    return vecs.select("vid", "v").mapInArrow(
+        fn, "vid long, v array<float>, cell long"
+    )
+
+
+def _pair_cos_milli_arrow(pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b, cos_milli) from (id_a, id_b, va, vb) via mapInArrow —
+    fold-order-exact floor(1000*cosine) on candidate pairs."""
+    import pyarrow as pa
+    import numpy as np
+
+    def fn(batches):
+        for batch in batches:
+            ida = batch.column(0)
+            idb = batch.column(1)
+            va = batch.column(2).to_pylist()
+            vb = batch.column(3).to_pylist()
+            if len(va) == 0:
+                continue
+            A = np.asarray(va, dtype=np.float64)
+            B = np.asarray(vb, dtype=np.float64)
+            n, d = A.shape
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            dot = np.zeros(n)
+            for j in range(d):
+                x, y = A[:, j], B[:, j]
+                na = na + x * x
+                nb = nb + y * y
+                dot = dot + x * y
+            cm = np.floor(1000.0 * (dot / np.sqrt(na * nb))).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [ida, idb, pa.array(cm, pa.int64())],
+                ["id_a", "id_b", "cos_milli"],
+            )
+
+    return pairs.select("id_a", "id_b", "va", "vb").mapInArrow(
+        fn, "id_a long, id_b long, cos_milli long"
+    )
+
+
 def _update_centroids(assigned: DataFrame) -> DataFrame:
     """Elementwise mean per cell, accumulated as exact integers:
     sum(round(x*1e7)::long) is order-independent, so the result is
@@ -273,6 +384,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int = DEFAULT_SAMPLE_SIZE,
+    impl: str = "arrow",
 ) -> list:
     """Driver-side centroid list [(id, [float,...])] after `iters` Lloyd
     updates.
@@ -292,7 +404,12 @@ def kmeans_train(
     )
     cents = kmeanspp_init(embeddings, num_centroids, sample_size, id_col, vec_col)
     for _ in range(iters):
-        updated = _update_centroids(_assign_cells(vecs, cents)).collect()
+        assigned = (
+            assign_cells_arrow(vecs, cents)
+            if impl == "arrow"
+            else _assign_cells(vecs, cents)
+        )
+        updated = _update_centroids(assigned).collect()
         cents = sorted((r.centroid_id, list(r.centv)) for r in updated)
     return cents
 
@@ -380,6 +497,7 @@ def embedding_dup_pairs(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id_a, id_b, cos_milli): embedding-cosine near-duplicate pairs.
 
@@ -400,12 +518,15 @@ def embedding_dup_pairs(
     candidate volume (the standard IVF trade).
     """
     cents = kmeans_train(
-        embeddings, num_centroids, iters, id_col, vec_col
+        embeddings, num_centroids, iters, id_col, vec_col, impl=impl
     )
     vecs = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
-    assigned = _assign_cells_multi(vecs, cents, nprobe)
+    if impl == "arrow":
+        assigned = assign_cells_arrow(vecs, cents, nprobe)
+    else:
+        assigned = _assign_cells_multi(vecs, cents, nprobe)
     a = assigned.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("cell").alias("ca")
     )
@@ -413,12 +534,15 @@ def embedding_dup_pairs(
         F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("cell").alias("cb")
     )
     cand = a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
-    cos_milli = F.floor(
-        F.lit(1000) * cosine_sim(F.col("va"), F.col("vb"))
-    ).cast("long")
+    if impl == "arrow":
+        verified = _pair_cos_milli_arrow(cand)
+    else:
+        cos_milli = F.floor(
+            F.lit(1000) * cosine_sim(F.col("va"), F.col("vb"))
+        ).cast("long")
+        verified = cand.select("id_a", "id_b", cos_milli.alias("cos_milli"))
     return (
-        cand.select("id_a", "id_b", cos_milli.alias("cos_milli"))
-        .filter(F.col("cos_milli") >= threshold_milli)
+        verified.filter(F.col("cos_milli") >= threshold_milli)
         .distinct()
     )
 

@@ -121,6 +121,40 @@ def test_embedding_dup_pairs_sqrt_default(spark):
     assert want <= exact
 
 
+def test_arrow_assignment_and_dedup_match_expr(spark):
+    """The Arrow+numpy assignment/verify twins must reproduce the
+    expression path BIT-exactly: same trained centroids (the sequential-
+    in-dimension accumulation replays the fold's rounding) and the same
+    near-dup pair set with identical cos_milli values."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.dedup import VARIANT_OFFSET
+    from image_ocr_spark.operators.similarity import (
+        embedding_dup_pairs,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    c_expr = kmeans_train(emb, num_centroids=8, iters=2, impl="expr")
+    c_arrow = kmeans_train(emb, num_centroids=8, iters=2, impl="arrow")
+    assert c_expr == c_arrow  # bitwise-equal centroid doubles
+
+    dup = emb.select((F.col("vec_id") + VARIANT_OFFSET).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(dup)
+    kw = dict(threshold_milli=990, num_centroids=8, iters=1, nprobe=2)
+    p_expr = {
+        (r.id_a, r.id_b): r.cos_milli
+        for r in embedding_dup_pairs(corpus, impl="expr", **kw).collect()
+    }
+    p_arrow = {
+        (r.id_a, r.id_b): r.cos_milli
+        for r in embedding_dup_pairs(corpus, impl="arrow", **kw).collect()
+    }
+    assert p_expr == p_arrow and len(p_arrow) > 0
+
+
 def test_ivf_assignment_is_shuffle_free(spark):
     """The corpus->cell assignment must be a per-row expression (no
     Exchange): the old crossJoin+groupBy(vid) form shuffled k copies of the
