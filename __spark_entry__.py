@@ -1538,9 +1538,10 @@ def oracle_sql() -> dict[str, str]:
             rare AS (SELECT h FROM ex GROUP BY h
                      HAVING count(*) <= {DEFAULT_SHINGLE_MAX_DF}),
             exr AS (SELECT ex.doc_id, ex.h FROM ex JOIN rare USING (h)),
-            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                      FROM exr a JOIN exr b
-                       ON a.h = b.h AND a.doc_id < b.doc_id),
+                       ON a.h = b.h AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2 HAVING count(*) >= 3),
             sc AS (SELECT cand.id_a, cand.id_b,
                           len(list_intersect(sa.hs, sb.hs)) AS inter,
                           len(sa.hs) + len(sb.hs)
