@@ -207,6 +207,18 @@ def _cos_matrix(V, cents: list):
     return sims
 
 
+def _flat_f64(col, n: int):
+    """(flat_f32, M) from an Arrow list<float> column with no null rows:
+    zero-copy flatten of the child buffer (offset-safe), reshaped (n, d) as
+    float64 — to_pylist() here built 64M Python floats per 1M-row batch and
+    dominated wall time."""
+    import numpy as np
+
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    d = len(flat) // n
+    return flat, flat.astype(np.float64).reshape(n, d)
+
+
 def assign_cells_arrow(
     vecs: DataFrame, cents: list, nprobe: int = 1
 ) -> DataFrame:
@@ -219,27 +231,28 @@ def assign_cells_arrow(
 
     def fn(batches):
         for batch in batches:
-            vids = batch.column(0).to_pylist()
-            vlists = batch.column(1).to_pylist()
-            if not vids:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            V = np.asarray(vlists, dtype=np.float64)
+            vid = batch.column(0).to_numpy(zero_copy_only=False)
+            flat, V = _flat_f64(batch.column(1), n)
+            d = V.shape[1]
             sims = _cos_matrix(V, cents)
             # stable argsort of -sims: sim desc, ties keep column order
             # (= cid asc, the fold/ROW_NUMBER tiebreak)
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-            out_vid: list = []
-            out_v: list = []
-            out_cell: list = []
-            for i, vid in enumerate(vids):
-                for c in top[i]:
-                    out_vid.append(vid)
-                    out_v.append(vlists[i])
-                    out_cell.append(int(cids[c]))
+            k = min(nprobe, len(cents))
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            rows = np.repeat(np.arange(n), k)
+            out_cell = cids[top.ravel()]
+            out_flat = flat.reshape(n, d)[rows].ravel()
+            offsets = np.arange(0, (len(rows) + 1) * d, d, dtype=np.int32)
+            v_arr = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(out_flat, pa.float32())
+            )
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(out_vid, pa.int64()),
-                    pa.array(out_v, pa.list_(pa.float32())),
+                    pa.array(vid[rows], pa.int64()),
+                    v_arr,
                     pa.array(out_cell, pa.int64()),
                 ],
                 ["vid", "v", "cell"],
@@ -258,15 +271,14 @@ def _pair_cos_milli_arrow(pairs: DataFrame) -> DataFrame:
 
     def fn(batches):
         for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
             ida = batch.column(0)
             idb = batch.column(1)
-            va = batch.column(2).to_pylist()
-            vb = batch.column(3).to_pylist()
-            if len(va) == 0:
-                continue
-            A = np.asarray(va, dtype=np.float64)
-            B = np.asarray(vb, dtype=np.float64)
-            n, d = A.shape
+            _, A = _flat_f64(batch.column(2), n)
+            _, B = _flat_f64(batch.column(3), n)
+            d = A.shape[1]
             na = np.zeros(n)
             nb = np.zeros(n)
             dot = np.zeros(n)
