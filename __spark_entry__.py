@@ -387,6 +387,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression path IS production for simhash: md5 dominates its cost
+    and the JVM beats a per-token hashlib loop (see simhash_arrow's
+    docstring; the Arrow twin stays parity-tested)."""
     from image_ocr_spark.operators.dedup import with_simhash
 
     return with_simhash(_docs(spark, sf_dir).select("doc_id", "text")).select(

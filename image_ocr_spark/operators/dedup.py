@@ -291,6 +291,7 @@ def simhash_hamming_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int = SIMHASH_CHUNKS,
+    impl: str = "expr",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share at least one of `chunks`
     fingerprint chunks (pigeonhole: hamming <= chunks-1 guarantees a shared
@@ -298,9 +299,12 @@ def simhash_hamming_pairs(
     each chunk key spans 2^15 buckets, keeping per-bucket candidate counts
     ~N/32768 at corpus scale."""
     bits_per = SIMHASH_BITS // chunks
-    fp = with_simhash(
-        docs.select(F.col(id_col).alias("id"), F.col(text_col)), text_col
-    ).select("id", "fp")
+    if impl == "arrow":
+        fp = simhash_arrow(docs, id_col, text_col)
+    else:
+        fp = with_simhash(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col)), text_col
+        ).select("id", "fp")
     chunk_arr = F.array(
         *[
             F.shiftright(F.col("fp"), c * bits_per).bitwiseAND(
@@ -549,6 +553,54 @@ def minhash_arrow(
         F.coalesce(F.col(text_col), F.lit("")).alias("t"),
     )
     return src.mapInArrow(fn, "id long, sig array<long>")
+
+
+def simhash_arrow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, fp) via mapInArrow — vectorized twin of with_simhash: same
+    60-bit md5-prefix token hashes, same multiplicity-weighted bit votes
+    (numpy shifts over the token-hash matrix instead of 60 interpreted
+    aggregate folds per row).
+
+    NOT the default: unlike minhash/winnow (where the per-element
+    expression work dominates), simhash's cost is the md5 itself, and the
+    JVM computes md5 faster than a per-token hashlib loop — measured 2.3 s
+    (expr) vs 4.4 s (arrow) for 10k docs at sf0.1.  Kept as the
+    parity-tested alternative for engines without md5 codegen."""
+    import hashlib
+
+    import pyarrow as pa
+
+    np = _np()
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def fp_of(text: str) -> int:
+        toks = (text or "").split(" ")
+        h = np.array(
+            [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) for t in toks],
+            dtype=np.int64,
+        )
+        votes = (((h[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
+        return int(((votes > 0).astype(np.int64) << shifts).sum())
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            fps = [fp_of(t) for t in texts]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(fps, pa.int64())], ["id", "fp"]
+            )
+
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    return src.mapInArrow(fn, "id long, fp long")
 
 
 def _winnow_list(text: str, k: int, w: int, max_chars: int, powers) -> list:

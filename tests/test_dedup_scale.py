@@ -157,6 +157,20 @@ def test_shingle_hashes_arrow_matches_expr(spark, documents):
         assert arrow == expr
 
 
+def test_simhash_arrow_matches_expr(spark, documents):
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.dedup import simhash_arrow, with_simhash
+
+    for df in (documents.select("doc_id", "text"), _adv_df(spark)):
+        expr = {
+            r.doc_id: r.fp
+            for r in with_simhash(df.select("doc_id", "text")).collect()
+        }
+        arrow = {r.id: r.fp for r in simhash_arrow(df, "doc_id", "text").collect()}
+        assert arrow == expr
+
+
 def test_winnow_arrow_matches_expr(spark, documents):
     from pyspark.sql import functions as F
 
