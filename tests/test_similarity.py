@@ -155,6 +155,28 @@ def test_arrow_assignment_and_dedup_match_expr(spark):
     assert p_expr == p_arrow and len(p_arrow) > 0
 
 
+def test_knn_arrow_matches_expr(spark):
+    """Arrow-scored search (brute force + IVF) returns the same ranked
+    neighbor lists as the expression path."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 16)
+
+    def key(df):
+        return sorted((r.query_id, r.rank, r.neighbor_id) for r in df.collect())
+
+    assert key(brute_force_topk(emb, q, k=5, impl="arrow")) == key(
+        brute_force_topk(emb, q, k=5, impl="expr")
+    )
+    kw = dict(k=5, num_centroids=8, iters=2, nprobe=2)
+    assert key(ivf_topk(emb, q, impl="arrow", **kw)) == key(
+        ivf_topk(emb, q, impl="expr", **kw)
+    )
+
+
 def test_ivf_assignment_is_shuffle_free(spark):
     """The corpus->cell assignment must be a per-row expression (no
     Exchange): the old crossJoin+groupBy(vid) form shuffled k copies of the
