@@ -703,6 +703,37 @@ def q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data battery COMPOSED into the canonical corpus-
+    selection pass: duplicate-injected corpus -> exact-dedup representative
+    gate (min doc_id per content hash) + language filter + quality
+    threshold, all per-row except the one dedup shuffle.  This is the
+    end-product query a 100 TB pretraining pipeline actually runs."""
+    from pyspark.sql import Window
+
+    from image_ocr_spark.functions.textstats import lang_id_columns, quality_columns
+    from image_ocr_spark.operators.dedup import VARIANT_OFFSET
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"), "text")
+    )
+    t = F.coalesce(F.col("text"), F.lit(""))
+    feat = corpus.select(
+        "doc_id", F.md5(t).alias("_ch"), *lang_id_columns(t), *quality_columns(t)
+    )
+    rep = F.min("doc_id").over(Window.partitionBy("_ch"))
+    return (
+        feat.withColumn("_rep", rep)
+        .filter(
+            (F.col("doc_id") == F.col("_rep"))
+            & (F.col("lang_guess") == "en")
+            & (F.col("quality_score") >= 50)
+        )
+        .select("doc_id", "lang_guess", "quality_score")
+    )
+
+
 def q_engine_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 engine-strategy registry (ref pipeline.py:120-146 set_engine +
     fallback): force engine='pdf' over the mixed corpus — pdf pages parse
@@ -791,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": q_stream_window_counts,
         "stream_dedup_first_seen": q_stream_dedup_first_seen,
         "engine_fallback": q_engine_fallback,
+        "corpus_select": q_corpus_select,
     }
 
 
@@ -1300,9 +1332,10 @@ def _sql_dedup_embedding(
     )
 
 
-def _sql_lang_id() -> str:
-    """hits_<lang> counts + priority-tiebreak argmax guess (mirrors
-    image_ocr_spark.functions.textstats.lang_id_columns)."""
+def _sql_lang_parts() -> tuple:
+    """(hit_cols, guess_case): per-language stopword hit expressions and the
+    priority-tiebreak argmax CASE (mirrors textstats.lang_id_columns);
+    shared by the lang_id and corpus_select oracles."""
     from image_ocr_spark.functions.textstats import LANG_ORDER, LANG_STOPWORDS
 
     hit_cols = []
@@ -1319,15 +1352,61 @@ def _sql_lang_id() -> str:
         ]
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     all_zero = " AND ".join(f"hits_{lang} = 0" for lang in LANG_ORDER)
+    guess_case = (
+        f"CASE WHEN {all_zero} THEN 'und' {' '.join(cases)} ELSE 'und' END"
+    )
+    return hit_cols, guess_case
+
+
+def _sql_lang_id() -> str:
+    """hits_<lang> counts + priority-tiebreak argmax guess (mirrors
+    image_ocr_spark.functions.textstats.lang_id_columns)."""
+    from image_ocr_spark.functions.textstats import LANG_ORDER
+
+    hit_cols, guess_case = _sql_lang_parts()
     return f"""
         WITH b AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
                    FROM documents),
              h AS (SELECT doc_id, {', '.join(hit_cols)} FROM b)
         SELECT doc_id, {', '.join(f'hits_{lang}' for lang in LANG_ORDER)},
-               CASE WHEN {all_zero} THEN 'und'
-                    {' '.join(cases)}
-                    ELSE 'und' END AS lang_guess
+               {guess_case} AS lang_guess
         FROM h
+    """
+
+
+_SQL_STOPS_EN = "['the', 'a', 'of', 'and', 'is', 'to', 'in']"
+
+
+def _sql_quality_score(t: str = "t", toks: str = "toks") -> str:
+    """Composite quality milli-score (mirrors textstats.quality_columns)."""
+    sr = (
+        f"(CASE WHEN len({toks}) > 0 THEN (1000 * len(list_filter({toks}, "
+        f"x -> list_contains({_SQL_STOPS_EN}, x)))) // len({toks}) "
+        f"ELSE 0 END)"
+    )
+    np_ = f"(length({t}) - length(regexp_replace({t}, '[.,!?;:]', '', 'g')))"
+    return f"(least(len({toks}), 400) + {sr} // 10 - least({np_} * 5, 200))"
+
+
+def _sql_corpus_select(min_quality: int, offset: int) -> str:
+    """DuckDB replay of q_corpus_select: duplicate-injected corpus ->
+    exact-dedup representative + lang + quality gates."""
+    hit_cols, guess_case = _sql_lang_parts()
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, coalesce(text, '') AS t FROM documents
+          UNION ALL
+          SELECT doc_id + {offset}, coalesce(text, '') FROM documents
+        ), b AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM corpus),
+        h AS (SELECT doc_id, t, toks, {', '.join(hit_cols)} FROM b),
+        l AS (SELECT doc_id, t, toks, {guess_case} AS lang_guess FROM h),
+        q AS (SELECT doc_id, t, lang_guess,
+                     {_sql_quality_score()}::BIGINT AS quality_score FROM l),
+        r AS (SELECT doc_id, lang_guess, quality_score,
+                     min(doc_id) OVER (PARTITION BY md5(t)) AS rep FROM q)
+        SELECT doc_id, lang_guess, quality_score FROM r
+        WHERE doc_id = rep AND lang_guess = 'en'
+          AND quality_score >= {min_quality}
     """
 
 
@@ -1746,6 +1825,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_pages
             FROM documents GROUP BY 1, 2
         """,
+        "corpus_select": _sql_corpus_select(min_quality=50, offset=VARIANT_OFFSET),
         # forced-pdf strategy: pdf pages (k=8) parse natively; html pages
         # fall back to the html tokenizer; only the whitespace edge kind
         # (%30=19) yields zero nodes from EVERY engine -> 'none' (the empty
