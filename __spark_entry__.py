@@ -703,6 +703,26 @@ def q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): connected components over the
+    MinHash+LSH pair graph via min-label propagation; every doc maps to its
+    cluster representative (min doc_id in the component).  The oracle
+    unrolls the same propagation a fixed 12 rounds — a fixpoint, so any
+    round count >= the true diameter replays bit-identically."""
+    from image_ocr_spark.operators.dedup import (
+        dedup_components,
+        minhash_lsh_pairs,
+        with_variants,
+    )
+
+    corpus = with_variants(_docs(spark, sf_dir))
+    pairs = minhash_lsh_pairs(corpus)
+    ids = corpus.select(F.col("doc_id").alias("id"))
+    return dedup_components(pairs, ids).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data battery COMPOSED into the canonical corpus-
     selection pass: duplicate-injected corpus -> exact-dedup representative
@@ -823,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_first_seen": q_stream_dedup_first_seen,
         "engine_fallback": q_engine_fallback,
         "corpus_select": q_corpus_select,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1388,6 +1409,47 @@ def _sql_quality_score(t: str = "t", toks: str = "toks") -> str:
     return f"(least(len({toks}), 400) + {sr} // 10 - least({np_} * 5, 200))"
 
 
+def _sql_dedup_clusters(iters: int = 12) -> str:
+    """DuckDB replay of q_dedup_clusters: same MinHash+LSH pair graph,
+    min-label propagation unrolled `iters` rounds (a fixpoint once
+    converged, so any iters >= the component diameter matches the Spark
+    loop's converged labels).  Propagation CTEs are MATERIALIZED — l{k}
+    references l{k-1} twice."""
+    base = (
+        _SQL_CORPUS
+        + ", "
+        + _sql_shingles("corpus")
+        + ", "
+        + _sql_minhash_cte()
+        + ", "
+        + _sql_bands_cte()
+    )
+    ctes = [
+        """pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""",
+        "edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs)",
+        "l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM corpus)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT l.id, "
+            f"least(l.label, coalesce(m.nl, l.label)) AS label "
+            f"FROM l{k - 1} l LEFT JOIN "
+            f"(SELECT e.dst AS nid, min(x.label) AS nl FROM edges e "
+            f"JOIN l{k - 1} x ON e.src = x.id GROUP BY e.dst) m "
+            f"ON l.id = m.nid)"
+        )
+    return (
+        "WITH "
+        + base
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, label AS cluster_id FROM l{iters}"
+    )
+
+
 def _sql_corpus_select(min_quality: int, offset: int) -> str:
     """DuckDB replay of q_corpus_select: duplicate-injected corpus ->
     exact-dedup representative + lang + quality gates."""
@@ -1826,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1, 2
         """,
         "corpus_select": _sql_corpus_select(min_quality=50, offset=VARIANT_OFFSET),
+        "dedup_clusters": _sql_dedup_clusters(iters=12),
         # forced-pdf strategy: pdf pages (k=8) parse natively; html pages
         # fall back to the html tokenizer; only the whitespace edge kind
         # (%30=19) yields zero nodes from EVERY engine -> 'none' (the empty

@@ -659,3 +659,58 @@ def winnow_arrow(
         F.coalesce(F.col(text_col), F.lit("")).alias("t"),
     )
     return src.mapInArrow(fn, "id long, fp long")
+
+
+def dedup_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, cluster_id): connected components over near-dup pairs — the
+    clustering step a real dedup pipeline runs AFTER pair generation, so
+    each document maps to one cluster representative (the minimum doc id
+    in its component; docs with no pairs are their own singleton cluster).
+
+    Algorithm: Jacobi min-label propagation (the standard Spark CC loop,
+    cf. GraphFrames' connectedComponents) — label(v) <- min(label(v),
+    min(label(neighbors))) per round; converges in O(component diameter)
+    rounds, each one equi-join + one aggregation on the same key.  Dedup
+    components are shallow (near-dup clusters link almost pairwise), so
+    diameter is small; `max_iters` is a hard stop against pathological
+    chains.  Driver traffic per round is ONE scalar (the changed-row
+    count); labels persist round to round."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
+    ).persist()
+    labels.count()
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.nid, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "label"
+                ),
+                (F.col("nlabel") < F.col("label")).alias("_chg"),
+            )
+        ).persist()
+        changed = new_labels.filter(F.col("_chg")).count()
+        old = labels
+        labels = new_labels.select("id", "label")
+        old.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))

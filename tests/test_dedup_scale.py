@@ -157,6 +157,21 @@ def test_shingle_hashes_arrow_matches_expr(spark, documents):
         assert arrow == expr
 
 
+def test_dedup_components_chain_and_singletons(spark):
+    """Min-label propagation: a 6-node chain (diameter 5) collapses to its
+    min id, disconnected docs stay singleton clusters."""
+    from image_ocr_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (20, 21)],
+        "id_a long, id_b long",
+    )
+    ids = spark.createDataFrame([(i,) for i in [10, 11, 12, 13, 14, 15, 20, 21, 99]], "id long")
+    got = {r.id: r.cluster_id for r in dedup_components(pairs, ids).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+                   20: 20, 21: 20, 99: 99}
+
+
 def test_simhash_arrow_matches_expr(spark, documents):
     from pyspark.sql import functions as F
 
