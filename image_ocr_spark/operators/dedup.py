@@ -256,6 +256,11 @@ def ngram_jaccard_pairs(
             F.col(id_col).alias("id"),
             shingle_hashes_col(F.coalesce(F.col(text_col), F.lit("")), n).alias("hs"),
         )
+    # the signature relation feeds THREE consumers (candidate explode +
+    # both verify sides); without materialization Spark recomputes the
+    # signature pass per consumer.  Callers keep the result small-lived
+    # (one query), so the cache is bounded by one corpus signature set.
+    sh = sh.persist()
     exploded = sh.select("id", F.explode("hs").alias("h"))
     rare = (
         exploded.groupBy("h")

@@ -20,6 +20,7 @@ SF_DIR = "/root/testdata/sf0.1"
 STRESS = os.environ.get("SPARK_GRAFT_STRESS") == "1"
 
 PAIR_QUERIES = [
+    "dedup_clusters",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
