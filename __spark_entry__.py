@@ -703,6 +703,28 @@ def q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-token/line
+    fractions, max 2-gram count) — the standard pretraining-corpus gates."""
+    from image_ocr_spark.functions.textstats import repetition_columns
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return _docs(spark, sf_dir).select("doc_id", *repetition_columns(t))
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus rollup over the extraction output (doc counts,
+    extracted chars, classified docs) — the crawl-side stats that drive
+    partition planning and the skew story (one hot host holds ~30%)."""
+    ex = _extracted(spark, sf_dir)
+    host = F.parse_url("url", F.lit("HOST"))
+    return ex.groupBy(host.alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("sum_text_chars"),
+        F.sum((F.col("doc_type") != "unknown").cast("long")).alias("n_classified"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (not just pairs): connected components over the
     MinHash+LSH pair graph via min-label propagation; every doc maps to its
@@ -844,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_fallback": q_engine_fallback,
         "corpus_select": q_corpus_select,
         "dedup_clusters": q_dedup_clusters,
+        "text_repetition": q_text_repetition,
+        "host_stats": q_host_stats,
     }
 
 
@@ -1889,6 +1913,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_select": _sql_corpus_select(min_quality=50, offset=VARIANT_OFFSET),
         "dedup_clusters": _sql_dedup_clusters(iters=12),
+        "text_repetition": """
+            WITH b AS (SELECT doc_id, coalesce(text, '') AS t,
+                              string_split(coalesce(text, ''), ' ') AS toks,
+                              string_split(coalesce(text, ''), chr(10)) AS lines
+                       FROM documents),
+            g AS (SELECT doc_id, toks, lines,
+                         CASE WHEN len(toks) >= 2
+                              THEN [array_to_string(list_slice(toks, i, i + 1), ' ')
+                                    for i in range(1, len(toks))]
+                              ELSE []::VARCHAR[] END AS grams
+                  FROM b)
+            SELECT doc_id,
+              (CASE WHEN len(toks) > 0
+                    THEN (1000 * (len(toks) - len(list_distinct(toks)))) // len(toks)
+                    ELSE 0 END)::BIGINT AS dup_token_frac_milli,
+              (CASE WHEN len(lines) > 0
+                    THEN (1000 * (len(lines) - len(list_distinct(lines)))) // len(lines)
+                    ELSE 0 END)::BIGINT AS dup_line_frac_milli,
+              coalesce(list_max([len(list_filter(grams, x -> x = g))
+                                 for g in list_distinct(grams)]), 0)::BIGINT
+                AS max_2gram_count
+            FROM g
+        """,
+        "host_stats": _PAGE_CTE + """
+            SELECT CASE WHEN doc_id % 10 < 3 THEN 'big.example.com'
+                        ELSE 'h' || (doc_id % 97)::VARCHAR || '.example.net'
+                   END AS host,
+                   count(*) AS n_docs,
+                   sum(length(text))::BIGINT AS sum_text_chars,
+                   sum(CASE WHEN doc_type <> 'unknown' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_classified
+            FROM pages GROUP BY 1
+        """,
         # forced-pdf strategy: pdf pages (k=8) parse natively; html pages
         # fall back to the html tokenizer; only the whitespace edge kind
         # (%30=19) yields zero nodes from EVERY engine -> 'none' (the empty

@@ -66,6 +66,55 @@ def lang_id_columns(text: Column) -> List[Column]:
     return cols + [guess.alias("lang_guess")]
 
 
+def repetition_columns(text: Column) -> List[Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 use duplicate
+    line / n-gram fractions as quality gates): duplicate-token fraction,
+    duplicate-line fraction, and the count of the most frequent token
+    2-gram — all integer milli-units, per-row, SQL-expressible.
+
+    The max-2-gram count is O(distinct_grams * n) per row via a filter scan
+    inside transform; fine for document-sized token counts (the fixture's
+    ~100 tokens), and the Arrow-twin pattern (operators/dedup.py) is the
+    escape hatch if a corpus has pathological per-doc lengths."""
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    dup_tok_frac = F.when(
+        n_tokens > 0,
+        F.floor(
+            1000 * (n_tokens - F.size(F.array_distinct(toks))) / n_tokens
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.floor(
+            1000 * (n_lines - F.size(F.array_distinct(lines))) / n_lines
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n_tokens - 1))
+    grams = F.when(
+        n_tokens >= 2,
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i, 2), " ")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    max_2gram = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda g: F.size(F.filter(grams, lambda x: x == g)),
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    return [
+        dup_tok_frac.alias("dup_token_frac_milli"),
+        dup_line_frac.alias("dup_line_frac_milli"),
+        max_2gram.alias("max_2gram_count"),
+    ]
+
+
 def quality_columns(text: Column) -> List[Column]:
     """Integer quality features + a composite milli-score.
 
