@@ -177,6 +177,28 @@ def test_knn_arrow_matches_expr(spark):
     )
 
 
+def test_arrow_assignment_is_shuffle_free(spark):
+    """The Arrow assignment twin must stay a scan-stage map (no Exchange),
+    like the expression form."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.similarity import (
+        assign_cells_arrow,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = kmeans_train(emb, num_centroids=8, iters=1)
+    vecs = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v"))
+    plan = (
+        assign_cells_arrow(vecs, cents, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_ivf_assignment_is_shuffle_free(spark):
     """The corpus->cell assignment must be a per-row expression (no
     Exchange): the old crossJoin+groupBy(vid) form shuffled k copies of the
