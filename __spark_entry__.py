@@ -791,6 +791,17 @@ def q_engine_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def q_ivf_recall_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate of q_ivf_recall: one row (n_queries, mean_recall_milli) —
+    the >= 900 milli gate as a single checked value (962 at C=12/nprobe=8
+    on the clusterless fixture)."""
+    per_q = q_ivf_recall(spark, sf_dir)
+    return per_q.groupBy().agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.floor(F.avg("recall_milli")).cast("long").alias("mean_recall_milli"),
+    )
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window crawl-rate rollup (streaming/stateful.py
     windowed_page_counts) replayed in batch — the SAME operator runs on a
@@ -868,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "text_repetition": q_text_repetition,
         "host_stats": q_host_stats,
+        "ivf_recall_mean": q_ivf_recall_mean,
     }
 
 
@@ -1902,6 +1914,13 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall": _sql_ivf_recall(
             k=5, num_centroids=12, iters=2, nprobe=8, nq=16
         ),
+        "ivf_recall_mean": f"""
+            WITH perq AS ({_sql_ivf_recall(k=5, num_centroids=12, iters=2,
+                                           nprobe=8, nq=16)})
+            SELECT count(*) AS n_queries,
+                   floor(avg(recall_milli))::BIGINT AS mean_recall_milli
+            FROM perq
+        """,
         # tumbling 10-min windows over warc_ts = 1704067200 + (doc_id%1e5)*60
         # (fixtures/gen_pages.warc_ts_for); lang defaults to 'en' in build_page
         "stream_window_counts": """
