@@ -27,6 +27,10 @@ PAIR_QUERIES = [
     "doc_fingerprints",
     "fingerprint_pairs",
     "dedup_embedding",
+    # not pair ops, but the 10x byte-identity checks worth having:
+    "flagship_extract",
+    "label_spans",
+    "corpus_select",
 ]
 
 
