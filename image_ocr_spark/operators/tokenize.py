@@ -277,3 +277,102 @@ def tokenize_packed(pages: DataFrame, engine: str = "auto") -> DataFrame:
     return pages.select(*cols).mapInArrow(
         lambda batches: _tokenize_packed(batches, engine), PACKED_DDL
     )
+
+
+# ---------------------------------------------------------------------------
+# fused variant: tokenize + content selection + classify in ONE Python pass,
+# emitting only the final per-document row (no node structs cross Arrow).
+# The rollup logic is pycore.blocks/classify — the SAME code the byte-
+# identity oracle runs, and tests/test_blocks_parity.py proves it equals
+# the SQL rollup bit-for-bit (every column, every page kind).
+#
+# MEASURED OUTCOME (r3): fused is ~20-30% SLOWER than packed+SQL rollup at
+# 16 cores despite skipping the node-array Arrow transfer.  Reason: the
+# SQL rollup executes in the SAME pipelined stage as the tokenizer — JVM
+# threads consume node batches while the Python workers produce the next
+# ones, so its ~2.5s of expression work hides behind the Python boundary;
+# fusing moves that work onto the Python critical path (all 16 cores are
+# already tokenize-bound).  Kept because the trade flips when the cluster
+# is transfer-bound rather than CPU-bound (remote shuffle, fatter nodes,
+# narrower rows), and as the one-boundary reference implementation.
+# ---------------------------------------------------------------------------
+
+FUSED_DDL = (
+    "url string, doc_id long, engine string, text string, title string, "
+    "n_nodes int, n_content_nodes int, "
+    "receipt_score_centi long, invoice_score_centi long, doc_type string"
+)
+
+
+def _extract_fused(
+    batches: Iterator[pa.RecordBatch], engine: str = "auto"
+) -> Iterator[pa.RecordBatch]:
+    from ..pycore.blocks import extract_main_text, select_content
+    from ..pycore.classify import classify_doc
+    from ..pycore.htmltok import page_title
+
+    for batch in batches:
+        names = batch.schema.names
+        urls = batch.column(names.index("url")).to_pylist()
+        htmls = batch.column(names.index("html")).to_pylist()
+        if "doc_id" in names:
+            doc_ids = batch.column(names.index("doc_id")).to_pylist()
+        else:
+            doc_ids = [None] * len(urls)
+        c_eng: list = []
+        c_txt: list = []
+        c_ttl: list = []
+        c_nn: list = []
+        c_ncn: list = []
+        c_rs: list = []
+        c_is: list = []
+        c_dt: list = []
+        for raw in htmls:
+            used, nodes = _run_engine(raw, engine)
+            real = [n for n in nodes if n["node_id"] >= 0]
+            text = extract_main_text(real)
+            cls = classify_doc(text)
+            c_eng.append(used)
+            c_txt.append(text)
+            c_ttl.append(page_title(real))
+            c_nn.append(len(real))
+            c_ncn.append(len(select_content(real)))
+            c_rs.append(cls["receipt_score_centi"])
+            c_is.append(cls["invoice_score_centi"])
+            c_dt.append(cls["doc_type"])
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(doc_ids, pa.int64()),
+                pa.array(c_eng, pa.string()),
+                pa.array(c_txt, pa.string()),
+                pa.array(c_ttl, pa.string()),
+                pa.array(c_nn, pa.int32()),
+                pa.array(c_ncn, pa.int32()),
+                pa.array(c_rs, pa.int64()),
+                pa.array(c_is, pa.int64()),
+                pa.array(c_dt, pa.string()),
+            ],
+            schema=pa.schema(
+                [
+                    pa.field("url", pa.string()),
+                    pa.field("doc_id", pa.int64()),
+                    pa.field("engine", pa.string()),
+                    pa.field("text", pa.string()),
+                    pa.field("title", pa.string()),
+                    pa.field("n_nodes", pa.int32()),
+                    pa.field("n_content_nodes", pa.int32()),
+                    pa.field("receipt_score_centi", pa.int64()),
+                    pa.field("invoice_score_centi", pa.int64()),
+                    pa.field("doc_type", pa.string()),
+                ]
+            ),
+        )
+
+
+def extract_fused(pages: DataFrame, engine: str = "auto") -> DataFrame:
+    """pages -> final extraction rows in one mapInArrow pass (FUSED_DDL)."""
+    cols = ["url", "html"] + (["doc_id"] if "doc_id" in pages.columns else [])
+    return pages.select(*cols).mapInArrow(
+        lambda batches: _extract_fused(batches, engine), FUSED_DDL
+    )

@@ -40,6 +40,7 @@ def extract_pages(
     num_partitions: int | None = None,
     engine: str = "auto",
     salt: bool = True,
+    rollup: str = "sql",
 ) -> DataFrame:
     """pages(url, html[, doc_id]) -> one extraction row per url.
 
@@ -56,6 +57,13 @@ def extract_pages(
     """
     if salt:
         pages = salt_repartition(pages, num_partitions)
+    if rollup == "fused":
+        # tokenize + content selection + classify in ONE Python pass
+        # (pycore rollup, byte-identical to the SQL form by parity tests);
+        # the node stream never crosses the Arrow boundary
+        from ..operators.tokenize import extract_fused
+
+        return extract_fused(pages, engine=engine)
     packed = tokenize_packed(pages, engine=engine)  # one row per doc
     per_url = extract_text_packed(packed)  # per-row exprs, NO shuffle
     return classify_df(per_url, "text")

@@ -41,3 +41,23 @@ def test_seed_rule_matches_pycore(spark, documents, doc_rows):
         ns = tokenize_pdf(raw) if is_pdf(raw) else tokenize_html(raw)
         exp = set(select_content(ns))
         assert got.get(doc_id, set()) == exp, doc_id
+
+
+def test_fused_rollup_matches_sql_rollup(spark, documents):
+    """extract_pages(rollup='fused') (pycore rollup inside the tokenize
+    pass) must equal the SQL rollup row-for-row on every column, across
+    all page kinds (articles, pdf, receipts, edge cases)."""
+    from image_ocr_spark.operators.generate import generate_pages
+    from image_ocr_spark.plans.pipeline import extract_pages
+
+    pages = generate_pages(documents)
+    cols = None
+
+    def snap(df):
+        nonlocal cols
+        cols = sorted(df.columns)
+        return {r["url"]: tuple(r[c] for c in cols) for r in df.collect()}
+
+    sql_rows = snap(extract_pages(pages, rollup="sql"))
+    fused_rows = snap(extract_pages(pages, rollup="fused"))
+    assert fused_rows == sql_rows and len(fused_rows) > 0
