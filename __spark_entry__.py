@@ -703,6 +703,30 @@ def q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically-noised crawl urls
+    (case/port/fragment/utm/param-order variants by doc_id%4) — dedup keys
+    must agree before any url-keyed grouping."""
+    from image_ocr_spark.functions.urls import normalize_url
+
+    host = F.format_string("H%d.Example.COM", F.col("doc_id") % 97)
+    path = F.format_string("/p/%d", F.col("doc_id"))
+    k = F.col("doc_id") % 4
+    raw = (
+        F.when(k == 0, F.concat(F.lit("HTTP://"), host, F.lit(":80"), path,
+                                F.lit("#section-2")))
+        .when(k == 1, F.concat(F.lit("https://"), F.lower(host), path,
+                               F.lit("?utm_source=feed&b=2&a=1")))
+        .when(k == 2, F.concat(F.lit("HTTPS://"), host, F.lit(":443"), path,
+                               F.lit("?z=9&a=1&utm_campaign=x&m=0")))
+        .otherwise(F.concat(F.lit("http://"), host, path,
+                            F.lit("?utm_medium=email")))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", raw.alias("raw_url"), normalize_url(raw).alias("canonical_url")
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (duplicate-token/line
     fractions, max 2-gram count) — the standard pretraining-corpus gates."""
@@ -880,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "host_stats": q_host_stats,
         "ivf_recall_mean": q_ivf_recall_mean,
+        "url_normalize": q_url_normalize,
     }
 
 
@@ -1932,6 +1957,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_select": _sql_corpus_select(min_quality=50, offset=VARIANT_OFFSET),
         "dedup_clusters": _sql_dedup_clusters(iters=12),
+        # canonical urls are CLOSED-FORM here (printf per variant) — the
+        # oracle states the expected output rather than replaying the
+        # normalizer, the strongest kind of check
+        "url_normalize": """
+            WITH p AS (SELECT doc_id, doc_id % 97 AS n, doc_id % 4 AS k
+                       FROM documents)
+            SELECT doc_id,
+              CASE k
+                WHEN 0 THEN printf('HTTP://H%d.Example.COM:80/p/%d#section-2', n, doc_id)
+                WHEN 1 THEN printf('https://h%d.example.com/p/%d?utm_source=feed&b=2&a=1', n, doc_id)
+                WHEN 2 THEN printf('HTTPS://H%d.Example.COM:443/p/%d?z=9&a=1&utm_campaign=x&m=0', n, doc_id)
+                ELSE printf('http://H%d.Example.COM/p/%d?utm_medium=email', n, doc_id)
+              END AS raw_url,
+              CASE k
+                WHEN 0 THEN printf('http://h%d.example.com/p/%d', n, doc_id)
+                WHEN 1 THEN printf('https://h%d.example.com/p/%d?a=1&b=2', n, doc_id)
+                WHEN 2 THEN printf('https://h%d.example.com/p/%d?a=1&m=0&z=9', n, doc_id)
+                ELSE printf('http://h%d.example.com/p/%d', n, doc_id)
+              END AS canonical_url
+            FROM p
+        """,
         "text_repetition": """
             WITH b AS (SELECT doc_id, coalesce(text, '') AS t,
                               string_split(coalesce(text, ''), ' ') AS toks,
