@@ -703,6 +703,51 @@ def q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing PLAN: docs are concatenated (+1 EOS each)
+    in doc_id order within fixed pack groups (doc_id // 64) and sliced into
+    512-token blocks; each doc's span and first/last block index come from
+    one windowed cumulative sum per group — fully partition-parallel (a
+    group maps to one writer task at scale), no UDF anywhere."""
+    from pyspark.sql import Window
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.size(F.split(t, " ")) + 1).cast("long").alias("n_tok"),
+        F.floor(F.col("doc_id") / 64).cast("long").alias("pack_group"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    d = d.withColumn("tok_start", start)
+    return d.select(
+        "doc_id",
+        "pack_group",
+        "tok_start",
+        (F.col("tok_start") + F.col("n_tok")).alias("tok_end"),
+        F.floor(F.col("tok_start") / 512).cast("long").alias("block_first"),
+        F.floor((F.col("tok_start") + F.col("n_tok") - 1) / 512)
+        .cast("long")
+        .alias("block_last"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs sharing >= 2 word 3-grams with any
+    'benchmark' item (every 50th doc stands in for the eval suite).  The
+    benchmark shingle set broadcasts; the corpus never self-joins."""
+    from image_ocr_spark.operators.dedup import contamination_flags
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    out = contamination_flags(docs, bench, min_overlap=2)
+    return out.select(F.col("id").alias("doc_id"), "n_overlap")
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over deterministically-noised crawl urls
     (case/port/fragment/utm/param-order variants by doc_id%4) — dedup keys
@@ -905,6 +950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "ivf_recall_mean": q_ivf_recall_mean,
         "url_normalize": q_url_normalize,
+        "decontaminate": q_decontaminate,
+        "token_packing": q_token_packing,
     }
 
 
@@ -1957,6 +2004,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_select": _sql_corpus_select(min_quality=50, offset=VARIANT_OFFSET),
         "dedup_clusters": _sql_dedup_clusters(iters=12),
+        "token_packing": """
+            WITH b AS (SELECT doc_id,
+                              len(string_split(coalesce(text, ''), ' ')) + 1 AS n_tok,
+                              doc_id // 64 AS pack_group
+                       FROM documents),
+            s AS (SELECT doc_id, pack_group, n_tok,
+                         coalesce(sum(n_tok) OVER (
+                           PARTITION BY pack_group ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS tok_start
+                  FROM b)
+            SELECT doc_id, pack_group,
+                   tok_start::BIGINT AS tok_start,
+                   (tok_start + n_tok)::BIGINT AS tok_end,
+                   (tok_start // 512)::BIGINT AS block_first,
+                   ((tok_start + n_tok - 1) // 512)::BIGINT AS block_last
+            FROM s
+        """,
+        "decontaminate": (
+            "WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), "
+            + _sql_shingles("d")
+            + """,
+            bg AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 50 = 0),
+            dg AS (SELECT doc_id, unnest(hs) AS h FROM sh)
+            SELECT doc_id, count(DISTINCT dg.h)::BIGINT AS n_overlap
+            FROM dg JOIN bg USING (h)
+            GROUP BY doc_id HAVING count(DISTINCT dg.h) >= 2
+            """
+        ),
         # canonical urls are CLOSED-FORM here (printf per variant) — the
         # oracle states the expected output rather than replaying the
         # normalizer, the strongest kind of check

@@ -719,3 +719,47 @@ def dedup_components(
             break
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    min_overlap: int = 2,
+    impl: str = "arrow",
+) -> DataFrame:
+    """(id, n_overlap): documents sharing >= min_overlap word n-grams with
+    ANY benchmark item — eval-set decontamination, the training-data gate
+    that keeps test sets out of the corpus (cf. GPT-3 appendix C / PaLM
+    §B.3 n-gram overlap decontamination).
+
+    Scale shape: the benchmark side is tiny (eval suites are thousands of
+    items) — its distinct shingle hashes BROADCAST; the corpus streams
+    through a broadcast hash join in the scan stage, then one groupBy(id)
+    counts distinct overlapping shingles.  No corpus self-join anywhere —
+    this is a different join geometry from the dedup pair ops.
+    """
+    if impl == "arrow":
+        doc_sh = shingle_hashes_arrow(docs, id_col, text_col, n)
+        bench_sh = shingle_hashes_arrow(benchmark, id_col, text_col, n)
+    else:
+        doc_sh = docs.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes_col(F.coalesce(F.col(text_col), F.lit("")), n).alias("hs"),
+        )
+        bench_sh = benchmark.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes_col(F.coalesce(F.col(text_col), F.lit("")), n).alias("hs"),
+        )
+    bench_grams = (
+        bench_sh.select(F.explode("hs").alias("h")).distinct()
+    )
+    doc_grams = doc_sh.select("id", F.explode("hs").alias("h"))
+    hits = doc_grams.join(F.broadcast(bench_grams), "h")
+    return (
+        hits.groupBy("id")
+        .agg(F.count_distinct("h").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
