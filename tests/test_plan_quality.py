@@ -132,3 +132,22 @@ def test_ngram_candidate_join_on_shingle_hash(spark, documents):
 
     plan = _formatted(ngram_jaccard_pairs(documents.limit(50)))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_broadcasts_benchmark(spark, documents):
+    """The benchmark shingle side must broadcast (corpus never self-joins
+    or shuffles against a big build side)."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.dedup import contamination_flags
+
+    docs = documents.select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    plan = (
+        contamination_flags(docs, bench, min_overlap=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
