@@ -31,6 +31,7 @@ PAIR_QUERIES = [
     "flagship_extract",
     "label_spans",
     "corpus_select",
+    "decontaminate",
 ]
 
 
