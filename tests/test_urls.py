@@ -1,0 +1,40 @@
+"""URL canonicalizer unit tests (edge cases beyond the driver fixture)."""
+
+from pyspark.sql import functions as F
+
+from image_ocr_spark.functions.urls import normalize_url
+
+
+def _norm(spark, raws):
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    rows = df.select("raw", normalize_url(F.col("raw")).alias("c")).collect()
+    return {r.raw: r.c for r in rows}
+
+
+def test_url_normalize_edges(spark):
+    got = _norm(
+        spark,
+        [
+            "HTTP://WWW.Example.COM:80/A/B?utm_source=x#frag",
+            "https://example.com:443/",
+            "https://example.com/x?b=2&a=1&a=0",
+            "http://example.com/x?utm_a=1&utm_b=2",
+            "http://example.com/x?",
+            "https://example.com:8443/x",
+            "http://example.com/UPPER/Path",
+        ],
+    )
+    assert got["HTTP://WWW.Example.COM:80/A/B?utm_source=x#frag"] == (
+        "http://www.example.com/A/B"
+    )
+    assert got["https://example.com:443/"] == "https://example.com/"
+    # params sorted, duplicates kept (a=0 before a=1)
+    assert got["https://example.com/x?b=2&a=1&a=0"] == (
+        "https://example.com/x?a=0&a=1&b=2"
+    )
+    assert got["http://example.com/x?utm_a=1&utm_b=2"] == "http://example.com/x"
+    assert got["http://example.com/x?"] == "http://example.com/x"
+    # non-default port preserved
+    assert got["https://example.com:8443/x"] == "https://example.com:8443/x"
+    # path case preserved
+    assert got["http://example.com/UPPER/Path"] == "http://example.com/UPPER/Path"
