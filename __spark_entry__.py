@@ -798,8 +798,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (not just pairs): connected components over the
     MinHash+LSH pair graph via min-label propagation; every doc maps to its
     cluster representative (min doc_id in the component).  The oracle
-    unrolls the same propagation a fixed 12 rounds — a fixpoint, so any
-    round count >= the true diameter replays bit-identically."""
+    unrolls the same propagation a fixed 20 rounds == the Spark loop's
+    max_iters (which RAISES if still unconverged), so whenever Spark
+    returns at all the oracle has reached the same fixpoint."""
     from image_ocr_spark.operators.dedup import (
         dedup_components,
         minhash_lsh_pairs,
@@ -1435,6 +1436,7 @@ def _sql_dedup_embedding(
     iters: int = 1,
     nprobe: int = 2,
     offset: int = VARIANT_OFFSET,
+    sample_size: int = 64,
 ) -> str:
     """Embedding-cosine near-dup oracle: duplicate-injected corpus, same
     multi-probe IVF blocking (each vector in its nprobe nearest cells) +
@@ -1443,7 +1445,9 @@ def _sql_dedup_embedding(
         f"emb2 AS (SELECT vec_id, embedding FROM embeddings "
         f"UNION ALL SELECT vec_id + {offset}, embedding FROM embeddings)"
     ]
-    chain, final_cents = _sql_kmeans_chain("emb2", num_centroids, iters)
+    chain, final_cents = _sql_kmeans_chain(
+        "emb2", num_centroids, iters, sample_size
+    )
     ctes += chain
     ctes.append(
         f"afm AS MATERIALIZED {_sql_ivf_assign('emb2', final_cents, nprobe)}"
@@ -2003,7 +2007,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1, 2
         """,
         "corpus_select": _sql_corpus_select(min_quality=50, offset=VARIANT_OFFSET),
-        "dedup_clusters": _sql_dedup_clusters(iters=12),
+        "dedup_clusters": _sql_dedup_clusters(iters=20),
         "token_packing": """
             WITH b AS (SELECT doc_id,
                               len(string_split(coalesce(text, ''), ' ')) + 1 AS n_tok,

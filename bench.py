@@ -191,7 +191,7 @@ class PinnedWorker:
             self._errfh.close()
 
 
-def prepare_skewed_pages(replicas: int) -> str:
+def prepare_skewed_pages(replicas: int) -> tuple:
     """Crawl-order layout: pages clustered into files BY HOST (the way a
     crawl actually lands), so the hot host (~30% of urls,
     fixtures/gen_pages.HOT_HOST) sits in one fat file.  With non-splittable

@@ -27,7 +27,13 @@ def normalize_url(raw: Column) -> Column:
     nofrag = F.regexp_replace(raw, "#.*$", "")
     scheme = F.lower(F.regexp_extract(nofrag, "^([A-Za-z]+)://", 1))
     hostport = F.lower(F.regexp_extract(nofrag, "^[A-Za-z]+://([^/?#]+)", 1))
-    host = F.regexp_replace(hostport, ":(80|443)$", "")
+    # the DEFAULT port is scheme-specific: http://h:443 is a distinct
+    # origin from http://h and must NOT be conflated (review r3 finding)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
     rest = F.regexp_extract(nofrag, "^[A-Za-z]+://[^/?#]+(.*)$", 1)
     path = F.element_at(F.split(rest, "\\?", 2), 1)
     query = F.when(

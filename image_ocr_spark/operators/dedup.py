@@ -225,6 +225,7 @@ def ngram_jaccard_pairs(
     max_df: int = DEFAULT_SHINGLE_MAX_DF,
     min_shared: int = 3,
     impl: str = "arrow",
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing >= min_shared RARE
     shingles.
@@ -240,10 +241,14 @@ def ngram_jaccard_pairs(
 
     ``min_shared`` prunes candidates BEFORE the verify join hauls each
     pair's full shingle arrays: at sf0.1 requiring >= 3 shared rare
-    shingles cut 4.46M candidate pairs to 45k (100x) with zero change to
-    the >= 0.5-jaccard result set (a true pair shares ~half its ~100
-    shingles; a pair with only 2 rare shared shingles passes 0.5 only in
-    the degenerate all-shingles-common case the df-cap already excludes).
+    shingles cut 4.46M candidate pairs to 45k (100x) with no change to
+    that corpus's >= 0.5-jaccard result set (its docs carry ~100 shingles,
+    so a true pair shares ~50).  RECALL CAVEAT: a SHORT document with
+    fewer than ~2*min_shared shingles can have jaccard >= 0.5 while
+    sharing < min_shared rare shingles (e.g. two 5-token docs sharing 2 of
+    their 3 trigrams = 500 milli) — such pairs are pruned.  Pass
+    min_shared=1 for short-document corpora to recover the >= 1-shared
+    behavior of r02.
 
     The Jaccard value itself stays EXACT: after the capped candidate join,
     each pair's full shingle arrays are re-joined and intersected
@@ -258,9 +263,13 @@ def ngram_jaccard_pairs(
         )
     # the signature relation feeds THREE consumers (candidate explode +
     # both verify sides); without materialization Spark recomputes the
-    # signature pass per consumer.  Callers keep the result small-lived
-    # (one query), so the cache is bounded by one corpus signature set.
-    sh = sh.persist()
+    # signature pass per consumer.  The cache lives until the session ends
+    # (an operator cannot know when its caller's final action ran), so
+    # long-lived sessions issuing MANY of these queries should pass
+    # persist_sigs=False and accept the recompute, or unpersist via
+    # spark.catalog.clearCache() between queries.
+    if persist_sigs:
+        sh = sh.persist()
     exploded = sh.select("id", F.explode("hs").alias("h"))
     rare = (
         exploded.groupBy("h")
@@ -682,9 +691,10 @@ def dedup_components(
     min(label(neighbors))) per round; converges in O(component diameter)
     rounds, each one equi-join + one aggregation on the same key.  Dedup
     components are shallow (near-dup clusters link almost pairwise), so
-    diameter is small; `max_iters` is a hard stop against pathological
-    chains.  Driver traffic per round is ONE scalar (the changed-row
-    count); labels persist round to round."""
+    diameter is small; if labels are still changing after `max_iters`
+    rounds the loop RAISES rather than silently returning split clusters
+    (review r3 finding).  Driver traffic per round is ONE scalar (the
+    changed-row count); labels persist round to round."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -717,6 +727,13 @@ def dedup_components(
         old.unpersist()
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iters} rounds — "
+            "a component has diameter > max_iters; raise max_iters (and "
+            "the oracle's unroll depth) for this graph"
+        )
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 

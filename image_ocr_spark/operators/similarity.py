@@ -47,7 +47,13 @@ DEFAULT_SAMPLE_SIZE = 64  # k-means++ init sample (collected to the driver)
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Left-to-right fold cosine over two array columns (as double)."""
+    """Left-to-right fold cosine over two array columns (as double).
+
+    Zero-norm (all-zero) vectors have no direction: the result is NULL for
+    them rather than a DIVIDE_BY_ZERO (Spark 4 ANSI raises even for
+    doubles) or a ranking-poisoning NaN — degenerate rows sort last / are
+    filtered by every consumer.  The guard never changes the arithmetic of
+    non-degenerate rows, so oracle bit-parity is unaffected."""
     zero = F.lit(0.0)
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -64,7 +70,8 @@ def cosine_sim(a: Column, b: Column) -> Column:
         zero,
         lambda acc, v: acc + v,
     )
-    return dot / F.sqrt(na * nb)
+    n2 = na * nb
+    return F.when(n2 > 0, dot / F.sqrt(n2))
 
 
 def _pair_sim_arrow(pairs: DataFrame) -> DataFrame:
@@ -92,9 +99,12 @@ def _pair_sim_arrow(pairs: DataFrame) -> DataFrame:
                 na = na + x * x
                 nb = nb + y * y
                 dot = dot + x * y
-            sim = dot / np.sqrt(na * nb)
+            n2 = na * nb
+            ok = n2 > 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(ok, dot / np.sqrt(n2), 0.0)
             yield pa.RecordBatch.from_arrays(
-                [qid, nid, pa.array(sim, pa.float64())],
+                [qid, nid, pa.array(sim, pa.float64(), mask=~ok)],
                 ["query_id", "neighbor_id", "sim"],
             )
 
@@ -137,7 +147,8 @@ def brute_force_topk(
         F.desc("sim"), F.asc("neighbor_id")
     )
     return (
-        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        sim.filter(F.col("sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -203,8 +214,11 @@ def _assign_topn_expr(v: Column, cents: list, nprobe: int) -> Column:
             c["cid"].cast("long").alias("cid"),
         ),
     )
+    # drop NULL-sim entries (zero-norm vector or centroid): a degenerate
+    # vector yields an EMPTY probe list -> excluded from candidates
+    valid = F.filter(scored, lambda t: t["ns"].isNotNull())
     return F.transform(
-        F.slice(F.array_sort(scored), 1, nprobe), lambda t: t["cid"]
+        F.slice(F.array_sort(valid), 1, nprobe), lambda t: t["cid"]
     )
 
 
@@ -231,7 +245,9 @@ def _assign_cells_multi(vecs: DataFrame, cents: list, nprobe: int) -> DataFrame:
 
 def _cos_matrix(V, cents: list):
     """(n, C) cosine matrix of V rows against the centroid list, fold-order
-    exact (see block comment above)."""
+    exact (see block comment above).  Zero-norm rows/centroids produce
+    -inf entries (the 'no direction' analog of cosine_sim's NULL) so they
+    can never win an argmax."""
     import numpy as np
 
     n, d = V.shape
@@ -246,17 +262,38 @@ def _cos_matrix(V, cents: list):
         for j in range(d):
             nc = nc + cv[j] * cv[j]
             dot = dot + V[:, j] * cv[j]
-        sims[:, ci] = dot / np.sqrt(na * nc)
+        n2 = na * nc
+        ok = n2 > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims[:, ci] = np.where(
+                ok, dot / np.sqrt(np.where(ok, n2, 1.0)), -np.inf
+            )
     return sims
 
 
 def _flat_f64(col, n: int):
-    """(flat_f32, M) from an Arrow list<float> column with no null rows:
-    zero-copy flatten of the child buffer (offset-safe), reshaped (n, d) as
-    float64 — to_pylist() here built 64M Python floats per 1M-row batch and
-    dominated wall time."""
+    """(flat_f32, M) from an Arrow list<float> column: zero-copy flatten of
+    the child buffer (offset-safe), reshaped (n, d) as float64 —
+    to_pylist() here built 64M Python floats per 1M-row batch and
+    dominated wall time.
+
+    Null or ragged rows would silently mis-align every row after them
+    under a blind reshape (review r3 finding), so both are rejected loudly:
+    embeddings are a fixed-dimension non-null column by contract — filter
+    degenerate rows upstream."""
     import numpy as np
 
+    if col.null_count:
+        raise ValueError(
+            "null embedding rows are not supported; filter them upstream"
+        )
+    offsets = getattr(col, "offsets", None)
+    if offsets is not None:
+        lengths = np.diff(offsets.to_numpy())
+        if len(lengths) and (lengths != lengths[0]).any():
+            raise ValueError(
+                "ragged embedding rows (differing dimensions) are not supported"
+            )
     flat = col.flatten().to_numpy(zero_copy_only=False)
     d = len(flat) // n
     return flat, flat.astype(np.float64).reshape(n, d)
@@ -281,12 +318,37 @@ def assign_cells_arrow(
             flat, V = _flat_f64(batch.column(1), n)
             d = V.shape[1]
             sims = _cos_matrix(V, cents)
-            # stable argsort of -sims: sim desc, ties keep column order
-            # (= cid asc, the fold/ROW_NUMBER tiebreak)
             k = min(nprobe, len(cents))
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
-            rows = np.repeat(np.arange(n), k)
-            out_cell = cids[top.ravel()]
+            # degenerate rows (zero-norm vector, or every centroid
+            # zero-norm): mirror the expression twins — cell -1 when
+            # nprobe == 1 (_assign_expr's fold init), NO rows when
+            # nprobe > 1 (_assign_topn_expr's filtered-empty probe list)
+            deg = np.all(np.isneginf(sims), axis=1)
+            if not np.isneginf(sims).any():
+                # fast path: stable argsort of -sims = sim desc, ties keep
+                # column order (= cid asc, the fold/ROW_NUMBER tiebreak)
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+                rows = np.repeat(np.arange(n), k)
+                out_cell = cids[top.ravel()]
+            else:
+                rows_l: list = []
+                cell_l: list = []
+                order = np.argsort(-sims, axis=1, kind="stable")
+                for i in range(n):
+                    if deg[i]:
+                        if nprobe == 1:
+                            rows_l.append(i)
+                            cell_l.append(-1)
+                        continue
+                    taken = 0
+                    for ci in order[i]:
+                        if taken >= k or np.isneginf(sims[i, ci]):
+                            break
+                        rows_l.append(i)
+                        cell_l.append(int(cids[ci]))
+                        taken += 1
+                rows = np.array(rows_l, dtype=np.int64)
+                out_cell = np.array(cell_l, dtype=np.int64)
             out_flat = flat.reshape(n, d)[rows].ravel()
             offsets = np.arange(0, (len(rows) + 1) * d, d, dtype=np.int32)
             v_arr = pa.ListArray.from_arrays(
@@ -330,9 +392,14 @@ def _pair_cos_milli_arrow(pairs: DataFrame) -> DataFrame:
                 na = na + x * x
                 nb = nb + y * y
                 dot = dot + x * y
-            cm = np.floor(1000.0 * (dot / np.sqrt(na * nb))).astype(np.int64)
+            n2 = na * nb
+            ok = n2 > 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cm = np.where(
+                    ok, np.floor(1000.0 * (dot / np.sqrt(np.where(ok, n2, 1.0)))), 0
+                ).astype(np.int64)
             yield pa.RecordBatch.from_arrays(
-                [ida, idb, pa.array(cm, pa.int64())],
+                [ida, idb, pa.array(cm, pa.int64(), mask=~ok)],
                 ["id_a", "id_b", "cos_milli"],
             )
 
@@ -344,8 +411,10 @@ def _pair_cos_milli_arrow(pairs: DataFrame) -> DataFrame:
 def _update_centroids(assigned: DataFrame) -> DataFrame:
     """Elementwise mean per cell, accumulated as exact integers:
     sum(round(x*1e7)::long) is order-independent, so the result is
-    bit-identical across partitionings and engines."""
-    dims = assigned.select(
+    bit-identical across partitionings and engines.  cell -1 (zero-norm
+    vectors, which no direction can claim) is excluded so degenerate rows
+    cannot spawn a junk centroid."""
+    dims = assigned.filter(F.col("cell") >= 0).select(
         "cell", F.posexplode("v").alias("dim", "val")
     ).select(
         "cell",
@@ -403,6 +472,10 @@ def kmeanspp_init(
       spread, closed-form enough for a DuckDB replay.
     Returns [(0, v0), (1, v1), ...] in selection order.
     """
+    # the sample must be able to SUPPLY num_centroids spread points —
+    # capping C at a fixed 64-row sample silently broke the sqrt(N)
+    # geometry at N > ~4k (review r3 finding)
+    sample_size = max(sample_size, 2 * num_centroids)
     rows = (
         embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
         .withColumn("h", _sample_hash(F.col("vid")))
@@ -410,19 +483,35 @@ def kmeanspp_init(
         .limit(sample_size)
         .collect()
     )
+    # zero-norm rows are dropped AFTER the limit (a degenerate vector has
+    # no direction and must never seed a centroid; post-limit filtering
+    # keeps the sample CTE arithmetic identical for non-degenerate corpora)
     samp: List[Tuple[int, List[float]]] = sorted(
-        (int(r.vid), [float(x) for x in r.v]) for r in rows
+        (int(r.vid), v)
+        for r in rows
+        if _py_dot((v := [float(x) for x in r.v]), v) > 0
     )
     if not samp:
         return []
     chosen = [samp[0]]  # smallest sampled id
+    # incremental farthest-point: keep each sample point's running max
+    # cosine to the chosen set — O(S*C) total instead of O(S*C^2); max is
+    # associative over floats, so selections are bitwise identical to the
+    # recompute-per-step form the SQL oracle uses
+    maxcos = [_py_cos(v, chosen[0][1]) for _, v in samp]
     while len(chosen) < min(num_centroids, len(samp)):
         best = None
-        for vid, v in samp:
-            mc = max(_py_cos(v, cv) for _, cv in chosen)
-            if best is None or (mc, vid) < best[0]:
-                best = ((mc, vid), (vid, v))
-        chosen.append(best[1])
+        for idx, (vid, _) in enumerate(samp):
+            key = (maxcos[idx], vid)
+            if best is None or key < best[0]:
+                best = (key, idx)
+        bidx = best[1]
+        chosen.append(samp[bidx])
+        cv = samp[bidx][1]
+        for idx, (_, v) in enumerate(samp):
+            c = _py_cos(v, cv)
+            if c > maxcos[idx]:
+                maxcos[idx] = c
     return [(i, v) for i, (_, v) in enumerate(chosen)]
 
 
@@ -553,7 +642,8 @@ def ivf_topk(
         )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        sim.filter(F.col("sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )

@@ -115,8 +115,12 @@ def dedup_first_seen_replay(
     forces >= `copies` micro-batches, so the cross-batch GroupState path is
     exercised, not a single-batch degenerate), and return the parquet sink's
     content as a batch DataFrame.  Fresh temp dirs per call keep the replay
-    idempotent (a reused checkpoint would suppress every url)."""
+    idempotent (a reused checkpoint would suppress every url); the bulky
+    source copies and the checkpoint are deleted before returning (review
+    r3: repeated driver calls were accumulating 2x the corpus under /tmp),
+    only the small sink output outlives the call."""
     import os
+    import shutil
     import tempfile
 
     base = tempfile.mkdtemp(prefix="dedup_replay_")
@@ -140,5 +144,9 @@ def dedup_first_seen_replay(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        for bulky in (src, ck):
+            shutil.rmtree(bulky, ignore_errors=True)
     return spark.read.parquet(out)

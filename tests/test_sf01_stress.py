@@ -107,7 +107,8 @@ def test_dedup_embedding_sqrt_blocking_at_sf01(spark, duck):
     t0 = time.time()
     cur = duck.execute(
         entrymod._sql_dedup_embedding(
-            threshold_milli=990, num_centroids=c, iters=1, nprobe=2
+            threshold_milli=990, num_centroids=c, iters=1, nprobe=2,
+            sample_size=max(64, 2 * c),  # kmeanspp_init's effective sample
         )
     )
     dcols = [d[0] for d in cur.description]

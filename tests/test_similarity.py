@@ -177,6 +177,38 @@ def test_knn_arrow_matches_expr(spark):
     )
 
 
+def test_zero_norm_vectors_excluded_not_fatal(spark):
+    """Review r3: an all-zero embedding must neither crash the job (Spark 4
+    ANSI raises DIVIDE_BY_ZERO even for doubles) nor poison rankings with
+    NaN — it is excluded from neighbors and pairs on BOTH impls."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_dup_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.1, 0.0, 0.0]),
+        (1, [1.0, 0.11, 0.0, 0.0]),
+        (2, [0.1, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # degenerate
+        (4, [0.0, 1.0, 0.2, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 2)
+    for impl in ("arrow", "expr"):
+        top = brute_force_topk(emb, q, k=4, impl=impl).collect()
+        assert all(r.neighbor_id != 3 for r in top), (impl, top)
+        assert {r.query_id for r in top} == {0, 1}
+        pairs = embedding_dup_pairs(
+            emb, threshold_milli=900, num_centroids=2, iters=1, nprobe=2,
+            impl=impl,
+        ).collect()
+        assert all(3 not in (r.id_a, r.id_b) for r in pairs), (impl, pairs)
+        assert (0, 1) in {(r.id_a, r.id_b) for r in pairs}
+
+
 def test_arrow_assignment_is_shuffle_free(spark):
     """The Arrow assignment twin must stay a scan-stage map (no Exchange),
     like the expression form."""

@@ -36,5 +36,12 @@ def test_url_normalize_edges(spark):
     assert got["http://example.com/x?"] == "http://example.com/x"
     # non-default port preserved
     assert got["https://example.com:8443/x"] == "https://example.com:8443/x"
+    # default-port strip is SCHEME-SPECIFIC: :443 on http / :80 on https
+    # are distinct origins and must survive (review r3 finding)
+    cross = _norm(
+        spark, ["http://example.com:443/x", "https://example.com:80/x"]
+    )
+    assert cross["http://example.com:443/x"] == "http://example.com:443/x"
+    assert cross["https://example.com:80/x"] == "https://example.com:80/x"
     # path case preserved
     assert got["http://example.com/UPPER/Path"] == "http://example.com/UPPER/Path"
