@@ -46,13 +46,17 @@ def clear_extract_cache() -> None:
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction result, persisted per (session, sf_dir): six queries share
     this pipeline, so the driver's per-query runs reuse one materialization.
+    Keyed on applicationId (stable, never recycled), NOT id(spark): CPython
+    can reuse the id of a garbage-collected stopped session, which would
+    hand a new session a DataFrame bound to the dead one (ADVICE r03).
     Entries from OTHER sessions are evicted on insert, so a long-lived
     process that cycles SparkSessions cannot accumulate dead references."""
     from image_ocr_spark.plans.pipeline import extract_pages
 
-    key = (id(spark), sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     if key not in _EXTRACT_CACHE:
-        for k in [k for k in _EXTRACT_CACHE if k[0] != id(spark)]:
+        for k in [k for k in _EXTRACT_CACHE if k[0] != app_id]:
             try:
                 _EXTRACT_CACHE.pop(k).unpersist()
             except Exception:
@@ -380,10 +384,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs (>=0.5) over the variant corpus."""
+    """Exact n-gram Jaccard pairs (>=0.5) over the variant corpus.
+
+    min_shared=3 is an explicit opt-in here (the library default is the
+    no-recall-loss min_shared=1): this corpus carries ~100 shingles per doc,
+    so a true >=0.5-jaccard pair shares ~50 rare shingles and the 100x
+    candidate prune is free."""
     from image_ocr_spark.operators.dedup import ngram_jaccard_pairs, with_variants
 
-    return ngram_jaccard_pairs(with_variants(_docs(spark, sf_dir)))
+    return ngram_jaccard_pairs(with_variants(_docs(spark, sf_dir)), min_shared=3)
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,12 +1235,21 @@ def _sql_kmeanspp_init(src: str, num_centroids: int, sample_size: int) -> list:
     deterministic md5-prefix hash sample, then num_centroids-1 greedy
     farthest-point steps (argmin over (max cosine to chosen, vid)).  The
     chain CTEs are MATERIALIZED: ch{j} and sc{j+1} both reference ch{j-1} —
-    naive inlining would double the expression tree per step."""
+    naive inlining would double the expression tree per step.
+
+    ADVICE r03 parity: mirrors BOTH Spark-side sample rules — the
+    sample_size bump to 2*num_centroids, and the POST-limit zero-norm drop
+    (samp0 limits by hash order, samp filters; filtering before the limit
+    would admit different rows than Spark whenever a degenerate vector
+    falls inside the hash window)."""
+    sample_size = max(sample_size, 2 * num_centroids)
     ctes = [
-        f"samp AS MATERIALIZED (SELECT vec_id AS vid, "
+        f"samp0 AS MATERIALIZED (SELECT vec_id AS vid, "
         f"list_transform(embedding, x -> x::DOUBLE) AS v FROM {src} "
         f"ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id "
         f"LIMIT {sample_size})",
+        "samp AS MATERIALIZED (SELECT vid, v FROM samp0 "
+        "WHERE list_sum(list_transform(v, x -> x * x)) > 0)",
         "ch0 AS MATERIALIZED (SELECT 0::BIGINT AS cid, vid, v FROM samp "
         "ORDER BY vid LIMIT 1)",
     ]

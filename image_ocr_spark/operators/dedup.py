@@ -53,6 +53,25 @@ DEFAULT_NUM_PERM = 16
 DEFAULT_BANDS = 4  # 4 bands x 4 rows
 DEFAULT_SHINGLE_N = 3
 
+# persisted signature relations from ngram_jaccard_pairs calls, awaiting
+# release — see release_sig_caches()
+_SIG_CACHE: List[DataFrame] = []
+
+
+def release_sig_caches() -> None:
+    """Unpersist every signature relation a prior ngram_jaccard_pairs call
+    persisted (ADVICE r03: persist with no unpersist path accumulated one
+    cached relation per call in long-lived sessions).  Always safe to call:
+    unpersisting only forces recompute on later reuse, never wrong results.
+    Called automatically at the start of each persisting call, so at most
+    ONE call's signatures are ever cached."""
+    while _SIG_CACHE:
+        df = _SIG_CACHE.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # owning session already stopped
+
 # SimHash width: 60 bits, not 64 — 15 hex chars of md5 stay inside SIGNED
 # 64-bit range in BOTH engines (Spark long and DuckDB ('0x'||hex)::BIGINT
 # overflow/flip sign at 16 hex chars), so fingerprints, shifts and xor are
@@ -223,7 +242,7 @@ def ngram_jaccard_pairs(
     n: int = DEFAULT_SHINGLE_N,
     threshold_milli: int = 500,
     max_df: int = DEFAULT_SHINGLE_MAX_DF,
-    min_shared: int = 3,
+    min_shared: int = 1,
     impl: str = "arrow",
     persist_sigs: bool = True,
 ) -> DataFrame:
@@ -246,9 +265,12 @@ def ngram_jaccard_pairs(
     so a true pair shares ~50).  RECALL CAVEAT: a SHORT document with
     fewer than ~2*min_shared shingles can have jaccard >= 0.5 while
     sharing < min_shared rare shingles (e.g. two 5-token docs sharing 2 of
-    their 3 trigrams = 500 milli) — such pairs are pruned.  Pass
-    min_shared=1 for short-document corpora to recover the >= 1-shared
-    behavior of r02.
+    their 3 trigrams = 500 milli) — such pairs are pruned.  The LIBRARY
+    default is therefore min_shared=1 (no recall loss, the r02 behavior);
+    long-document callers — like the driver's dedup_ngram_jaccard query,
+    whose corpus carries ~100 shingles per doc — opt into min_shared=3 for
+    the 100x candidate cut (ADVICE r03: a recall regression must not be a
+    silent library default).
 
     The Jaccard value itself stays EXACT: after the capped candidate join,
     each pair's full shingle arrays are re-joined and intersected
@@ -263,13 +285,17 @@ def ngram_jaccard_pairs(
         )
     # the signature relation feeds THREE consumers (candidate explode +
     # both verify sides); without materialization Spark recomputes the
-    # signature pass per consumer.  The cache lives until the session ends
-    # (an operator cannot know when its caller's final action ran), so
-    # long-lived sessions issuing MANY of these queries should pass
-    # persist_sigs=False and accept the recompute, or unpersist via
-    # spark.catalog.clearCache() between queries.
+    # signature pass per consumer.  An operator cannot know when its
+    # caller's final action ran, so the cache is tracked in _SIG_CACHE and
+    # (a) the PREVIOUS call's relations are released on entry — a
+    # long-lived session issuing many of these queries holds at most one
+    # call's signatures, not an unbounded accumulation (ADVICE r03) —
+    # and (b) release_sig_caches() frees the last one on demand
+    # (unpersist is always correctness-safe: consumers just recompute).
     if persist_sigs:
+        release_sig_caches()
         sh = sh.persist()
+        _SIG_CACHE.append(sh)
     exploded = sh.select("id", F.explode("hs").alias("h"))
     rare = (
         exploded.groupBy("h")

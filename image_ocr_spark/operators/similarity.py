@@ -493,25 +493,24 @@ def kmeanspp_init(
     )
     if not samp:
         return []
+    import numpy as np
+
+    # incremental farthest-point, numpy-vectorized over the sample axis
+    # (ADVICE r03: the pure-Python O(S*C*d) sweep was a single-threaded
+    # driver bottleneck at C ~ sqrt(N)).  _cos_matrix's dim-loop fold keeps
+    # every per-element accumulation left-to-right, so selections stay
+    # bitwise identical to the _py_cos form and the DuckDB oracle.
+    V = np.array([v for _, v in samp], dtype=np.float64)  # vid-ascending
     chosen = [samp[0]]  # smallest sampled id
-    # incremental farthest-point: keep each sample point's running max
-    # cosine to the chosen set — O(S*C) total instead of O(S*C^2); max is
-    # associative over floats, so selections are bitwise identical to the
-    # recompute-per-step form the SQL oracle uses
-    maxcos = [_py_cos(v, chosen[0][1]) for _, v in samp]
+    # running max cosine to the chosen set; max is associative over floats,
+    # so selections match the recompute-per-step form the SQL oracle uses
+    maxcos = _cos_matrix(V, [chosen[0]])[:, 0]
     while len(chosen) < min(num_centroids, len(samp)):
-        best = None
-        for idx, (vid, _) in enumerate(samp):
-            key = (maxcos[idx], vid)
-            if best is None or key < best[0]:
-                best = (key, idx)
-        bidx = best[1]
+        # argmin over (maxcos, vid): rows are vid-ascending, and argmin
+        # returns the FIRST minimal index = smallest vid among ties
+        bidx = int(np.argmin(maxcos))
         chosen.append(samp[bidx])
-        cv = samp[bidx][1]
-        for idx, (_, v) in enumerate(samp):
-            c = _py_cos(v, cv)
-            if c > maxcos[idx]:
-                maxcos[idx] = c
+        maxcos = np.maximum(maxcos, _cos_matrix(V, [chosen[-1]])[:, 0])
     return [(i, v) for i, (_, v) in enumerate(chosen)]
 
 
