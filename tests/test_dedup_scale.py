@@ -172,6 +172,50 @@ def test_dedup_components_chain_and_singletons(spark):
                    20: 20, 21: 20, 99: 99}
 
 
+def test_dedup_components_long_chain_converges(spark):
+    """A 41-node chain (diameter 40 — the shape template boilerplate
+    produces) converges well inside max_iters=20: pointer doubling gives
+    O(log d) rounds where plain Jacobi min-label needed 40 and raised
+    (VERDICT r03 #2c)."""
+    from image_ocr_spark.operators.dedup import dedup_components
+
+    n = 41
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {r.id: r.cluster_id for r in dedup_components(pairs, ids).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_components_frees_all_intermediate_storage(spark):
+    """After the loop only the RESULT's own checkpoint remains in executor
+    storage — per-round caches and superseded checkpoint storage are all
+    freed (the r03 leak unpersisted a projection of the cached plan, which
+    Spark's CacheManager does not match, leaking one O(N) relation per
+    round)."""
+    from image_ocr_spark.operators.dedup import (
+        _persistent_rdd_ids,
+        dedup_components,
+    )
+
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    before = _persistent_rdd_ids(sc)
+    n = 30  # long enough to cross a checkpoint_interval boundary
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    result = dedup_components(pairs, ids)
+    leftover = _persistent_rdd_ids(sc) - before
+    # the result's lineage-free checkpoint is the ONLY new storage
+    assert len(leftover) <= 1, f"leaked cached relations: {leftover}"
+    assert {r.id: r.cluster_id for r in result.collect()} == {
+        i: 0 for i in range(n)
+    }
+
+
 def test_simhash_arrow_matches_expr(spark, documents):
     from pyspark.sql import functions as F
 
