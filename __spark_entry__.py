@@ -688,6 +688,20 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_batched_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, vid) selected by the DISTRIBUTED batched farthest-point init
+    (kmeans_batched_init — the k-means||-style large-C path, VERDICT r03
+    #1): 4 rounds of scan-stage max-cosine scoring + TakeOrdered(8),
+    replayed round-for-round by the DuckDB oracle.  Value-hash equality
+    here proves the distributed init selects the exact same seed rows the
+    closed-form replay does."""
+    from image_ocr_spark.operators.similarity import kmeans_batched_seed_ids
+
+    emb = _emb(spark, sf_dir)
+    seeds = kmeans_batched_seed_ids(emb, 32, batch=8)
+    return spark.createDataFrame(seeds, "cid long, vid long")
+
+
 def q_engine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 engine-comparison fan-out (ref gui.py:1529-1637) as a queryable
     operator: per-engine corpus stats over the html/pdf split."""
@@ -959,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "host_stats": q_host_stats,
         "ivf_recall_mean": q_ivf_recall_mean,
+        "kmeans_batched_seeds": q_kmeans_batched_seeds,
         "url_normalize": q_url_normalize,
         "decontaminate": q_decontaminate,
         "token_packing": q_token_packing,
@@ -1272,6 +1287,50 @@ def _sql_kmeanspp_init(src: str, num_centroids: int, sample_size: int) -> list:
         f"cents0 AS (SELECT cid, v AS centv FROM ch{num_centroids - 1})"
     )
     return ctes
+
+
+def _sql_batched_init_seeds(num_centroids: int = 32, batch: int = 8) -> str:
+    """DuckDB replay of similarity.kmeans_batched_seed_ids: smallest-vid
+    non-degenerate first seed, then ceil((C-1)/batch) rounds each taking
+    the `batch` rows with smallest (max cosine to seed set, vid) among
+    not-yet-chosen rows.  max() over the per-seed fold-order cosines is
+    order-independent, so values are bit-identical to maxcos_arrow."""
+    ctes = [
+        "s0 AS MATERIALIZED (SELECT vec_id AS vid, "
+        "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings "
+        "WHERE list_sum(list_transform(embedding, "
+        "x -> x::DOUBLE * x::DOUBLE)) > 0)",
+        "ch0 AS MATERIALIZED (SELECT vid, v, 0::BIGINT AS ord FROM s0 "
+        "ORDER BY vid LIMIT 1)",
+    ]
+    chosen = 1
+    r = 0
+    while chosen < num_centroids:
+        r += 1
+        take = min(batch, num_centroids - chosen)
+        ctes.append(
+            f"sc{r} AS MATERIALIZED (SELECT s.vid, any_value(s.v) AS v, "
+            f"max({_sql_cosine('s.v', 'c.v')}) AS mc "
+            f"FROM s0 s, ch{r - 1} c "
+            f"WHERE s.vid NOT IN (SELECT vid FROM ch{r - 1}) "
+            f"GROUP BY s.vid)"
+        )
+        ctes.append(
+            f"nx{r} AS MATERIALIZED (SELECT vid, v, "
+            f"{chosen} + row_number() OVER (ORDER BY mc, vid) - 1 AS ord "
+            f"FROM (SELECT vid, v, mc FROM sc{r} "
+            f"ORDER BY mc, vid LIMIT {take}) t)"
+        )
+        ctes.append(
+            f"ch{r} AS MATERIALIZED (SELECT * FROM ch{r - 1} "
+            f"UNION ALL SELECT * FROM nx{r})"
+        )
+        chosen += take
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT ord AS cid, vid FROM ch{r}"
+    )
 
 
 def _sql_kmeans_chain(
@@ -1870,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 10
         """,
         "knn_ivf": _sql_kmeans_ivf(k=5, num_centroids=8, iters=2, nprobe=2, nq=16),
+        "kmeans_batched_seeds": _sql_batched_init_seeds(num_centroids=32, batch=8),
         "media_features": """
             WITH s AS (
               SELECT doc_id,

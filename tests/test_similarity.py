@@ -243,3 +243,77 @@ def test_ivf_assignment_is_shuffle_free(spark):
     vecs = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v"))
     plan = _assign_cells(vecs, cents)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_batched_init_batch1_equals_greedy_sweep(spark):
+    """kmeans_batched_init with batch=1 IS the greedy farthest-point sweep
+    when the sweep's sample covers the whole corpus: same start (smallest
+    non-degenerate vid), same (maxcos, vid) argmin each step, same
+    fold-order cosines — the distributed path's correctness anchor."""
+    from image_ocr_spark.operators.similarity import (
+        kmeans_batched_init,
+        kmeanspp_init,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    n = emb.count()
+    greedy = kmeanspp_init(emb, 12, sample_size=n)
+    batched = kmeans_batched_init(emb, 12, batch=1)
+    assert [(i, v) for i, v in greedy] == [
+        (i, [float(x) for x in v]) for i, v in batched
+    ]
+
+
+def test_batched_init_driver_work_is_bounded(spark):
+    """VERDICT r03 #1 'done' gate: init at large C on a bigger-than-sample
+    synthetic corpus completes with O(C*dim) driver traffic and ZERO
+    driver-side sweep math — the selection happens in the scan stage
+    (maxcos_arrow) + TakeOrdered.  The old sweep at this C would collect
+    2*C vectors and run S*C Python cosines."""
+    import time
+
+    from image_ocr_spark.operators.similarity import kmeans_batched_init
+
+    n, c = 100_000, 320
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") * (3 + 2 * j) + j) % 97).cast("float") / 97.0
+                for j in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    cents = kmeans_batched_init(emb, c)
+    wall = time.time() - t0
+    assert len(cents) == c
+    assert all(len(v) == 8 for _, v in cents)
+    # generous budget for the noisy shared host; the point is it finishes
+    # in round-count ~C/batch scans, not O(S*C) driver minutes
+    assert wall < 240, f"batched init took {wall:.0f}s"
+
+
+def test_kmeans_train_auto_switches_to_batched_init(spark):
+    """Above BATCHED_INIT_THRESHOLD the driver sweep must not run: train
+    with init='auto' at C=150 equals init='batched' bit-exactly (and both
+    produce C centroids)."""
+    from image_ocr_spark.operators.similarity import kmeans_train
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    auto = kmeans_train(emb, num_centroids=150, iters=1, init="auto")
+    forced = kmeans_train(emb, num_centroids=150, iters=1, init="batched")
+    assert auto == forced
+    assert len(auto) > 0
+
+
+def test_kmeans_train_short_circuits_on_convergence(spark):
+    """Integer-exact centroids: once an iteration reproduces the previous
+    list, extra iters are free (identical result, no extra passes)."""
+    from image_ocr_spark.operators.similarity import kmeans_train
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(64)
+    c9 = kmeans_train(emb, num_centroids=4, iters=9)
+    # converges quickly on 64 rows; any iters past the fixpoint must
+    # reproduce it exactly (the short-circuit makes them free)
+    assert c9 == kmeans_train(emb, num_centroids=4, iters=20)
