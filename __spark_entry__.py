@@ -186,6 +186,34 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel stats through a from-scratch PNG codec (VERDICT r03 item
+    3, graft of the reference's pixel-level preprocessing,
+    preprocessor.py:81-131): the fixture encodes deterministic pixels into
+    actual filtered+zlib-compressed baseline PNGs (all five filter types,
+    gray/RGB/RGBA), Spark DECODES them back out (pycore/pngdec.py) and
+    computes per-channel means + histogram entropy in integer units; the
+    DuckDB oracle computes the same stats straight from the generative
+    formula — equality proves the codec, not just the arithmetic."""
+    from image_ocr_spark.operators.multimodal import (
+        extract_pixel_features,
+        synth_png_media,
+    )
+
+    feats = extract_pixel_features(synth_png_media(_docs(spark, sf_dir)))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.posexplode("mean_micro").alias("chan", "chan_mean_micro"),
+        "entropy_milli",
+    ).select(
+        "media_id", "width", "height", "channels",
+        "chan", "chan_mean_micro", "entropy_milli",
+    )
+
+
 def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/F5/F6: era + western + fullwidth date normalization (inputs
     constructed deterministically from doc_id in BOTH engines)."""
@@ -952,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_right_of": q_span_right_of,
         "invoice_items": q_invoice_items,
         "media_features": q_media_features,
+        "media_pixel_features": q_media_pixel_features,
         "label_spans": q_label_spans,
         "span_below": q_span_below,
         "classify_reasoning": q_classify_reasoning,
@@ -1951,6 +1980,44 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 3 THEN (1000000 * (256 - n_digit)) // 256
                           ELSE 0 END)::BIGINT AS value_micro
             FROM c, (SELECT unnest(range(0, 8)) AS dim) d
+        """,
+        "media_pixel_features": """
+            WITH mp AS (
+              SELECT doc_id AS media_id,
+                     (8 + doc_id % 9)::INT AS width,
+                     (8 + doc_id % 7)::INT AS height,
+                     (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::INT
+                       AS ch
+              FROM documents
+            ), pv AS (
+              SELECT media_id, width, height, ch, i % ch AS chan,
+                     (media_id * 31 + i * 7) % 256 AS val
+              FROM (SELECT media_id, width, height, ch,
+                           unnest(range(0, (width * height * ch)::BIGINT)) AS i
+                    FROM mp)
+            ), chsum AS (
+              SELECT media_id, any_value(width) AS width,
+                     any_value(height) AS height, any_value(ch) AS ch,
+                     chan, sum(val) AS s
+              FROM pv GROUP BY media_id, chan
+            ), hist AS (
+              SELECT media_id, val, count(*) AS cnt,
+                     any_value(width * height * ch) AS total
+              FROM pv GROUP BY media_id, val
+            ), ent AS (
+              SELECT media_id,
+                     floor(-1000 * list_reduce(
+                       list(cnt::DOUBLE / total * log2(cnt::DOUBLE / total)
+                            ORDER BY val),
+                       (a, b) -> a + b))::BIGINT AS entropy_milli
+              FROM hist GROUP BY media_id
+            )
+            SELECT c.media_id, c.width, c.height, c.ch AS channels,
+                   c.chan::INT AS chan,
+                   ((1000000 * c.s) // (c.width * c.height))::BIGINT
+                     AS chan_mean_micro,
+                   e.entropy_milli
+            FROM chsum c JOIN ent e USING (media_id)
         """,
         "label_spans": _sql_label_spans(),
         "lang_id": _sql_lang_id(),
