@@ -923,6 +923,33 @@ def q_ivf_recall_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@5 on the CLUSTERED synthetic corpus (VERDICT r03 item 4):
+    the plain ivf_recall row runs on uniform-random vectors — IVF's worst
+    case, needing nprobe=8 of C=12 cells to clear 900 milli.  On a
+    realistically clustered corpus the same gate holds at the PRODUCTION
+    geometry: C = sqrt(N) = 22 cells, nprobe=2 (measured 1000 milli; 938
+    even at nprobe=1).  One row (n_queries, mean_recall_milli)."""
+    from image_ocr_spark.operators.similarity import (
+        ivf_recall_at_k,
+        synth_clustered_embeddings,
+    )
+
+    cemb = synth_clustered_embeddings(_emb(spark, sf_dir).select("vec_id"))
+    per_q = ivf_recall_at_k(
+        cemb,
+        cemb.filter(F.col("vec_id") < 16),
+        k=5,
+        num_centroids=22,  # isqrt(500), the fixture corpus size
+        iters=2,
+        nprobe=2,
+    )
+    return per_q.groupBy().agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.floor(F.avg("recall_milli")).cast("long").alias("mean_recall_milli"),
+    )
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window crawl-rate rollup (streaming/stateful.py
     windowed_page_counts) replayed in batch — the SAME operator runs on a
@@ -1002,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "host_stats": q_host_stats,
         "ivf_recall_mean": q_ivf_recall_mean,
+        "ivf_recall_clustered": q_ivf_recall_clustered,
         "kmeans_batched_seeds": q_kmeans_batched_seeds,
         "url_normalize": q_url_normalize,
         "decontaminate": q_decontaminate,
@@ -1418,19 +1446,47 @@ def _sql_kmeans_ivf(
     )
 
 
+def _sql_clustered_emb_cte(
+    n_clusters: int = 16, dim: int = 16, noise_milli: int = 100
+) -> str:
+    """CTE `cemb` replaying similarity.synth_clustered_embeddings
+    expression-for-expression (md5-prefix-32 / 2^32 uniforms, identical
+    subtraction/scale order, so the doubles are bit-identical)."""
+
+    def u(s: str) -> str:
+        return f"(('0x' || substr(md5({s}), 1, 8))::BIGINT / 4294967296.0)"
+
+    scale = f"({noise_milli}::DOUBLE / 1000.0)"
+    elems = []
+    for j in range(dim):
+        ctr = u(f"'ctr_' || (vec_id % {n_clusters})::VARCHAR || '_{j}'")
+        nz = u(f"'nz_' || vec_id::VARCHAR || '_{j}'")
+        elems.append(f"(({ctr} - 0.5) + {scale} * ({nz} - 0.5))")
+    return (
+        "cemb AS MATERIALIZED (SELECT vec_id, ["
+        + ", ".join(elems)
+        + "] AS embedding FROM embeddings)"
+    )
+
+
 def _sql_ivf_recall(
     k: int = 5,
     num_centroids: int = 12,
     iters: int = 2,
     nprobe: int = 8,
     nq: int = 16,
+    src: str = "embeddings",
+    prelude: str = "",
 ) -> str:
     """DuckDB replay of similarity.ivf_recall_at_k: brute-force top-k and
-    IVF top-k side-by-side, per-query overlap count."""
-    ctes, prev = _sql_kmeans_chain("embeddings", num_centroids, iters)
+    IVF top-k side-by-side, per-query overlap count.  `src` is the corpus
+    relation (a table or a CTE defined in `prelude`)."""
+    ctes, prev = _sql_kmeans_chain(src, num_centroids, iters)
+    if prelude:
+        ctes.insert(0, prelude)
     ctes.append(
         f"q AS (SELECT vec_id AS query_id, embedding AS qv "
-        f"FROM embeddings WHERE vec_id < {nq})"
+        f"FROM {src} WHERE vec_id < {nq})"
     )
     ctes.append(f"""probes AS (
       SELECT query_id, qv, cid AS pcell FROM (
@@ -1455,7 +1511,7 @@ def _sql_ivf_recall(
                row_number() OVER (PARTITION BY q.query_id
                  ORDER BY {_sql_cosine('q.qv', 'e.embedding')} DESC,
                           e.vec_id ASC) AS rank
-        FROM q, embeddings e)
+        FROM q, {src} e)
       WHERE rank <= {k})""")
     return (
         "WITH "
@@ -2138,6 +2194,14 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall_mean": f"""
             WITH perq AS ({_sql_ivf_recall(k=5, num_centroids=12, iters=2,
                                            nprobe=8, nq=16)})
+            SELECT count(*) AS n_queries,
+                   floor(avg(recall_milli))::BIGINT AS mean_recall_milli
+            FROM perq
+        """,
+        "ivf_recall_clustered": f"""
+            WITH perq AS ({_sql_ivf_recall(k=5, num_centroids=22, iters=2,
+                                           nprobe=2, nq=16, src="cemb",
+                                           prelude=_sql_clustered_emb_cte())})
             SELECT count(*) AS n_queries,
                    floor(avg(recall_milli))::BIGINT AS mean_recall_milli
             FROM perq

@@ -514,6 +514,51 @@ def kmeanspp_init(
     return [(i, v) for i, (_, v) in enumerate(chosen)]
 
 
+def synth_clustered_embeddings(
+    ids: DataFrame,
+    n_clusters: int = 16,
+    dim: int = 16,
+    noise_milli: int = 100,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, embedding array<double>) — deterministic MIXTURE-OF-CLUSTERS
+    embeddings (VERDICT r03 item 4): the fixture's uniform-random vectors
+    are IVF's worst case (recall 0.96 needed C=12/nprobe=8, probing 2/3 of
+    the cells), which says nothing about production corpora, where
+    embeddings cluster and few probes suffice.
+
+    vec[j] = (u(ctr, cluster, j) - 0.5) + (noise_milli/1000) *
+             (u(nz, vec_id, j) - 0.5), with u = md5-prefix-32 / 2^32 — the
+    engine-portable deterministic 'random', so the DuckDB oracle constructs
+    the identical corpus expression-for-expression.  cluster = vec_id %
+    n_clusters; noise is ~10% of the center magnitude, i.e. tight clusters
+    like real sentence-embedding corpora."""
+    from image_ocr_spark.operators.dedup import hash32
+
+    vid = F.col(id_col)
+    c = vid % n_clusters
+    scale = F.lit(noise_milli / 1000.0)
+
+    def u(s: Column) -> Column:
+        return hash32(s) / F.lit(4294967296.0)
+
+    vec = F.array(
+        *[
+            (
+                u(F.concat(F.lit("ctr_"), c.cast("string"), F.lit(f"_{j}")))
+                - F.lit(0.5)
+            )
+            + scale
+            * (
+                u(F.concat(F.lit("nz_"), vid.cast("string"), F.lit(f"_{j}")))
+                - F.lit(0.5)
+            )
+            for j in range(dim)
+        ]
+    )
+    return ids.select(vid.alias("vec_id"), vec.alias("embedding"))
+
+
 def default_num_centroids(n: int) -> int:
     """C ~ sqrt(N): keeps the IVF within-cell candidate join ~N^1.5/nprobe
     instead of N^2 (the 100 TB guidance, now enforced as the default)."""

@@ -317,3 +317,30 @@ def test_kmeans_train_short_circuits_on_convergence(spark):
     # converges quickly on 64 rows; any iters past the fixpoint must
     # reproduce it exactly (the short-circuit makes them free)
     assert c9 == kmeans_train(emb, num_centroids=4, iters=20)
+
+
+def test_clustered_corpus_recall_gate(spark):
+    """VERDICT r03 item 4 'done' gate: on a realistically CLUSTERED corpus
+    the >=900-milli recall@5 gate holds at the production geometry —
+    C = sqrt(N) cells and nprobe=2 — where the uniform-random fixture
+    needed to probe 2/3 of its cells."""
+    import math
+
+    from image_ocr_spark.operators.similarity import (
+        ivf_recall_at_k,
+        synth_clustered_embeddings,
+    )
+
+    ids = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id")
+    n = ids.count()
+    cemb = synth_clustered_embeddings(ids)
+    rows = ivf_recall_at_k(
+        cemb,
+        cemb.filter(F.col("vec_id") < 16),
+        k=5,
+        num_centroids=math.isqrt(n),
+        iters=2,
+        nprobe=2,
+    ).collect()
+    mean = sum(r.recall_milli for r in rows) / len(rows)
+    assert mean >= 900, f"clustered recall collapsed: {mean}"
