@@ -169,3 +169,95 @@ def test_multimodal_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG fake")
+
+
+def test_checkpoint_resume_after_kill_between_write_and_commit(
+    spark, pages, tmp_path
+):
+    """Failure injection (VERDICT r03 item 6): a run killed AFTER the batch
+    data write but BEFORE the manifest commit leaves orphan data files —
+    plus, here, a corrupt half-written parquet — in uncommitted bucket
+    dirs.  The resumed run must redo exactly those buckets (dynamic
+    partition overwrite replaces the orphans, corrupt file included) and
+    end exactly-once: result == direct run, counters counted once."""
+    root = str(tmp_path / "ckkill")
+    ck = BucketedCheckpoint(root, num_buckets=8)
+    ck.run(pages, extract_pages, buckets_per_batch=4, max_batches=1)  # 0-3
+
+    # batch 2 "crashes" post-write pre-commit: run it, then delete its
+    # manifests and drop a corrupt file into one of its bucket dirs
+    ck.run(pages, extract_pages, buckets_per_batch=4)
+    for b in (4, 5, 6, 7):
+        os.remove(os.path.join(root, "_manifests", f"bucket-{b:05d}.json"))
+    victim = os.path.join(root, "data", "_bucket=5")
+    with open(os.path.join(victim, "part-halfwritten.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet footer")
+    assert ck.pending() == [4, 5, 6, 7]
+
+    done = ck.run(pages, extract_pages, buckets_per_batch=4)
+    assert done == [4, 5, 6, 7]
+    assert not os.path.exists(
+        os.path.join(victim, "part-halfwritten.parquet")
+    ), "dynamic overwrite must replace the orphaned bucket dir wholesale"
+
+    direct = {r.url: r.text for r in extract_pages(pages).collect()}
+    resumed = {r.url: r.text for r in ck.result(spark).collect()}
+    assert resumed == direct  # no losses, no dupes
+    m = ck.metrics()
+    assert m["buckets"] == 8
+    assert m["output_rows"] == len(direct)
+    assert m["input_rows"] == len(direct)  # redone buckets counted ONCE
+
+
+def test_streaming_resume_replays_uncommitted_batch_exactly_once(
+    spark, pages, tmp_path
+):
+    """Failure injection for the streaming path: crash between the
+    foreachBatch sink write and the streaming checkpoint commit = the
+    offsets record exists but the commits record does not.  On restart
+    Structured Streaming replays that batch with the SAME batch_id; the
+    dynamic-overwrite sink makes the replay idempotent, so the drained
+    output equals the batch run exactly."""
+    from image_ocr_spark.streaming.ingest import (
+        make_batch_writer,
+        read_extracted,
+        stream_pages,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    # several input files -> several micro-batches (1 file per trigger)
+    pages.repartition(3).write.parquet(pages_dir)
+
+    def drain():
+        q = (
+            stream_pages(spark, pages_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(make_batch_writer(out_dir))
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    batch = {r.url: r.text for r in extract_pages(pages).collect()}
+    assert {r.url: r.text for r in read_extracted(spark, out_dir).collect()} == batch
+
+    # crash injection: the last batch's sink write landed, its checkpoint
+    # commit did not
+    commits = os.path.join(ck_dir, "commits")
+    batch_ids = sorted(int(f) for f in os.listdir(commits) if f.isdigit())
+    assert len(batch_ids) >= 2, "need multiple micro-batches for this test"
+    os.remove(os.path.join(commits, str(batch_ids[-1])))
+    # ...and its Hadoop checksum sidecar: a crashed run wrote NEITHER file
+    # (leaving only the .crc would be a different corruption, which Spark
+    # rejects loudly as a concurrent-writer conflict)
+    crc = os.path.join(commits, f".{batch_ids[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    drain()  # restart: replays ONLY the uncommitted batch, same batch_id
+    out = read_extracted(spark, out_dir)
+    assert {r.url: r.text for r in out.collect()} == batch  # no dupes/losses
+    assert out.count() == len(batch)
