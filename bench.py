@@ -255,12 +255,93 @@ def skew_main() -> None:
     }))
 
 
+HOT_TEMPLATE = (
+    "all rights reserved terms of service privacy policy cookie notice "
+    "subscribe to our newsletter follow us on social media copyright "
+    "footer navigation home about contact sitemap back to top"
+)
+
+
+def dedup_skew_main() -> None:
+    """Hot-band evidence for the PAIR joins (VERDICT r03 item 7): one
+    boilerplate template owns 30% of the corpus, so its whole slice lands
+    in ONE LSH bucket per band.  The clique join must emit O(hot^2) pairs
+    (the wall a template cliff costs at corpus scale); max_bucket star
+    edges collapse it to O(hot) while preserving the connected components
+    downstream clustering consumes.  Passes alternate clique/star so both
+    sample the same noise window; best-of-3 each."""
+    cpus = min(HI, os.cpu_count() or 1)
+    os.sched_setaffinity(0, set(range(cpus)))  # inherited by the JVM
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.dedup import minhash_lsh_pairs
+    from image_ocr_spark.session import get_spark
+
+    spark = get_spark(
+        f"local[{cpus}]",
+        app_name="bench-dedup-skew",
+        shuffle_partitions=cpus * 2,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # replicate so the hot slice is big enough that the clique join's
+    # O(hot^2) output is a WALL cliff, not just a row-count statistic
+    replicas = int(os.environ.get("SPARK_GRAFT_DEDUP_SKEW_REPLICAS", "4"))
+    reps = spark.range(replicas).select(F.col("id").alias("_r"))
+    corpus = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            F.when(F.col("doc_id") % 10 < 3, F.lit(HOT_TEMPLATE))
+            .otherwise(
+                F.concat(F.col("text"), F.lit(" r"), F.col("_r").cast("string"))
+            )
+            .alias("text"),
+        )
+        .persist()
+    )
+    n = corpus.count()
+    hot = corpus.filter(F.col("text") == HOT_TEMPLATE).count()
+
+    def one(max_bucket):
+        t0 = time.time()
+        cnt = minhash_lsh_pairs(corpus, max_bucket=max_bucket).count()
+        return time.time() - t0, cnt
+
+    one(64)  # warm: JIT + python workers
+    clique_w, star_w = [], []
+    clique_n = star_n = 0
+    for _ in range(3):
+        t, clique_n = one(None)
+        clique_w.append(t)
+        t, star_n = one(64)
+        star_w.append(t)
+    corpus.unpersist()
+    spark.stop()
+    c, s = min(clique_w), min(star_w)
+    print(json.dumps({
+        "metric": f"dedup_skew_demo_{_sf_tag()}_pinned{cpus}cpu",
+        "unit": "sec",
+        "docs": n,
+        "hot_template_docs": hot,
+        "clique_s": round(c, 3),
+        "star_s": round(s, 3),
+        "clique_pairs": clique_n,
+        "star_pairs": star_n,
+        "star_speedup": round(c / s, 2),
+        "clique_samples": [round(x, 3) for x in clique_w],
+        "star_samples": [round(x, 3) for x in star_w],
+    }))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3], skew="--skew" in sys.argv[4:])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--dedup-skew":
+        dedup_skew_main()
         return
     os.makedirs(CACHE_ROOT, exist_ok=True)
     meta = prepare_pages()

@@ -245,3 +245,46 @@ def test_winnow_arrow_matches_expr(spark, documents):
             for r in with_fingerprints(df, impl="arrow").collect()
         )
         assert arrow == expr
+
+
+def test_lsh_hot_bucket_star_edges_preserve_components(spark):
+    """VERDICT r03 item 7: a template owning ~30% of docs puts its slice in
+    one LSH bucket; max_bucket switches that bucket from an O(hot^2) clique
+    to O(hot) star edges.  Connected components — all that dedup clustering
+    consumes — must be IDENTICAL, while the emitted pair count collapses."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.dedup import dedup_components, minhash_lsh_pairs
+
+    n, hot = 200, 60
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < hot, F.lit("hot template boilerplate page body")
+        )
+        .otherwise(
+            F.concat(F.lit("unique document text number "), F.col("id").cast("string"),
+                     F.lit(" with distinct content words"))
+        )
+        .alias("text"),
+    )
+    clique = minhash_lsh_pairs(docs).persist()
+    star = minhash_lsh_pairs(docs, max_bucket=16).persist()
+    n_clique, n_star = clique.count(), star.count()
+    assert n_clique >= hot * (hot - 1) // 2  # the quadratic cliff is real
+    assert n_star < n_clique / 10  # star mode collapses it
+    ids = docs.select(F.col("doc_id").alias("id"))
+    cc_clique = {
+        r.id: r.cluster_id
+        for r in dedup_components(
+            clique.select("id_a", "id_b"), ids
+        ).collect()
+    }
+    cc_star = {
+        r.id: r.cluster_id
+        for r in dedup_components(star.select("id_a", "id_b"), ids).collect()
+    }
+    assert cc_clique == cc_star
+    assert len({v for k, v in cc_clique.items() if k < hot}) == 1
+    clique.unpersist()
+    star.unpersist()
