@@ -1,0 +1,173 @@
+"""sf1.0 stress tier (VERDICT r03 item 5): the pair battery + flagship
+byte identity at ANOTHER 10x — 50k docs (+50k injected variants inside the
+dedup queries) and 5k embeddings, synthesized DETERMINISTICALLY from sf0.1
+into .bench/sf1.0 once.  Both engines read the same parquet, so the
+driver's oracle strings apply unchanged — this is the same correctness
+gate at 100x the smallest fixture.
+
+Opt-in (slow, ~minutes): SPARK_GRAFT_STRESS=1 python -m pytest
+tests/test_sf1_stress.py -q -s
+Measured walls are printed per query and recorded in BASELINE.md (round 4).
+"""
+
+import math
+import os
+import time
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SRC_DIR = "/root/testdata/sf0.1"
+SF1_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".bench",
+    "sf1.0",
+)
+STRESS = os.environ.get("SPARK_GRAFT_STRESS") == "1"
+REPLICAS = 10
+ID_STRIDE = 10_000_000  # far above sf0.1 ids, far below VARIANT_OFFSET
+
+PAIR_QUERIES = [
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "fingerprint_pairs",
+    "dedup_embedding",
+    "flagship_extract",
+    "corpus_select",
+    "decontaminate",
+]
+
+
+def _ensure_sf1(spark) -> None:
+    """Replicate sf0.1 10x with distinct ids; texts get a per-replica
+    suffix (near-dup structure stays per-replica instead of exploding into
+    10-doc cross-replica dup groups), embeddings a per-replica additive
+    offset (distinct directions)."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(SF1_DIR, "_SYNTH_OK")
+    if os.path.exists(marker):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    reps = spark.range(REPLICAS).select(F.col("id").alias("_r"))
+    docs = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("_r") * ID_STRIDE).alias("doc_id"),
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" r"),
+                F.col("_r").cast("string"),
+            ).alias("text"),
+            "lang",
+        )
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(SF1_DIR, "documents.parquet"))
+    )
+    emb = spark.read.parquet(f"{SRC_DIR}/embeddings.parquet")
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("_r") * ID_STRIDE).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x + F.col("_r").cast("float") * F.lit(0.013),
+            ).alias("embedding"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(os.path.join(SF1_DIR, "embeddings.parquet"))
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 9)
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    """Module override of the shared local[4] session: the sf1.0 tier gets
+    16 cores (the bench HI level), matching how BASELINE.md reports it."""
+    from image_ocr_spark.session import get_spark
+
+    spark = get_spark(
+        "local[16]", app_name="sf1-stress", shuffle_partitions=32
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="module")
+def sf1(spark):
+    _ensure_sf1(spark)
+    return SF1_DIR
+
+
+@pytest.fixture(scope="module")
+def duck(sf1):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf1}/{t}.parquet/*.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.skipif(not STRESS, reason="set SPARK_GRAFT_STRESS=1 (slow)")
+@pytest.mark.parametrize("name", PAIR_QUERIES)
+def test_pair_query_at_sf1(spark, sf1, duck, name):
+    q = entrymod.queries()[name]
+    t0 = time.time()
+    sdf = q(spark, sf1)
+    srows = [tuple(r) for r in sdf.collect()]
+    spark_s = time.time() - t0
+    t0 = time.time()
+    cur = duck.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    duck_s = time.time() - t0
+    print(
+        f"\n[sf1.0] {name}: rows={len(srows)} spark={spark_s:.1f}s "
+        f"oracle={duck_s:.1f}s"
+    )
+    assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)}"
+    assert _rowset(sdf.columns, srows) == _rowset(dcols, drows)
+
+
+@pytest.mark.skipif(not STRESS, reason="set SPARK_GRAFT_STRESS=1 (slow)")
+def test_no_cached_relation_leaks_after_battery(spark):
+    """Storage census (VERDICT r03 item 9): after the whole sf1.0 battery,
+    the only persisted relations allowed are the per-(session, sf)
+    extraction caches the entry module owns — a leak like r03's
+    dedup_components projection-unpersist would show up here as unbounded
+    growth."""
+    from image_ocr_spark.operators.dedup import release_sig_caches
+
+    import __spark_entry__ as e
+
+    release_sig_caches()
+    e.clear_extract_cache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    leftover = len(jmap)
+    assert leftover <= 2, (
+        f"{leftover} persisted RDDs remain after cache release — "
+        "an operator is leaking storage"
+    )
