@@ -186,6 +186,52 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (C4/Dolma-style): emails, IPv4s, card-shaped digit runs,
+    phone numbers counted then replaced with fixed placeholders — per-row
+    expressions, zero shuffle.  The corpus injects deterministic PII built
+    from doc_id in BOTH engines, so redacted text is byte-comparable."""
+    from image_ocr_spark.functions.pii import pii_counts, redact_pii
+
+    t = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" card 4111 1111 1111 1111"),
+    )
+    src = _docs(spark, sf_dir).select("doc_id", t.alias("t"))
+    return src.select(
+        "doc_id",
+        redact_pii(F.col("t")).alias("clean_text"),
+        *pii_counts(F.col("t")),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (C4/RefinedWeb-style): boilerplate lines
+    injected around every document (the navbar/footer every page of a site
+    repeats) appear in >1 doc and are scrubbed from ALL docs; unique body
+    lines survive in order.  One hash-key shuffle with map-side combine +
+    a left_anti on the same key — the 100 TB shape."""
+    from image_ocr_spark.operators.dedup import dedup_lines
+
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("NAVBAR HOME ABOUT\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nCOPYRIGHT FOOTER ALL RIGHTS"),
+        ).alias("text"),
+    )
+    return dedup_lines(corpus)
+
+
 def q_media_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel stats through a from-scratch PNG codec (VERDICT r03 item
     3, graft of the reference's pixel-level preprocessing,
@@ -1008,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "invoice_items": q_invoice_items,
         "media_features": q_media_features,
         "media_pixel_features": q_media_pixel_features,
+        "pii_redact": q_pii_redact,
+        "line_dedup": q_line_dedup,
         "label_spans": q_label_spans,
         "span_below": q_span_below,
         "classify_reasoning": q_classify_reasoning,
@@ -1444,6 +1492,68 @@ def _sql_kmeans_ivf(
           FROM s)
         WHERE rank <= {k}"""
     )
+
+
+def _sql_pii_redact() -> str:
+    """DuckDB replay of q_pii_redact, built from the SAME PII_RULES list
+    (single source of truth): same injected corpus, same counts on raw
+    text, same fixed redaction order ('g' flag = Spark's global default)."""
+    from image_ocr_spark.functions.pii import PII_RULES
+
+    t = (
+        "coalesce(text, '') || ' contact user' || doc_id::VARCHAR || "
+        "'@example.com or +1-555-' || (1000 + doc_id % 9000)::VARCHAR || "
+        "' from 10.' || (doc_id % 256)::VARCHAR || '.0.' || "
+        "((doc_id * 7) % 256)::VARCHAR || ' card 4111 1111 1111 1111'"
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    red = "t"
+    for _, pat, placeholder in PII_RULES:
+        red = f"regexp_replace({red}, '{pat}', '{placeholder}', 'g')"
+    return (
+        f"WITH src AS (SELECT doc_id, {t} AS t FROM documents) "
+        f"SELECT doc_id, {red} AS clean_text, {counts} FROM src"
+    )
+
+
+def _sql_line_dedup(max_df: int = 1) -> str:
+    """DuckDB replay of q_line_dedup: same injected navbar/footer corpus,
+    same md5-prefix line hashes, df counted as DISTINCT docs, survivors
+    rejoined in position order."""
+    return f"""
+        WITH src AS (
+          SELECT doc_id AS id,
+                 'NAVBAR HOME ABOUT' || chr(10) || coalesce(text, '')
+                   || chr(10) || 'COPYRIGHT FOOTER ALL RIGHTS' AS t
+          FROM documents
+        ), ln0 AS (
+          SELECT id, string_split(t, chr(10)) AS ls FROM src
+        ), ln AS (
+          SELECT id,
+                 unnest([struct_pack(pos := i - 1, line := ls[i])
+                         for i in range(1, len(ls) + 1)],
+                        recursive := true)
+          FROM ln0
+        ), h AS (
+          SELECT id, pos, line,
+                 ('0x' || substr(md5(line), 1, 8))::BIGINT AS hh
+          FROM ln
+        ), common AS (
+          SELECT hh FROM h GROUP BY hh
+          HAVING count(DISTINCT id) > {max_df}
+        ), kept AS (
+          SELECT id, pos, line FROM h
+          WHERE hh NOT IN (SELECT hh FROM common)
+        ), rb AS (
+          SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+          FROM kept GROUP BY id
+        )
+        SELECT s.id, coalesce(rb.clean_text, '') AS clean_text
+        FROM src s LEFT JOIN rb USING (id)
+    """
 
 
 def _sql_clustered_emb_cte(
@@ -2037,6 +2147,8 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0 END)::BIGINT AS value_micro
             FROM c, (SELECT unnest(range(0, 8)) AS dim) d
         """,
+        "pii_redact": _sql_pii_redact(),
+        "line_dedup": _sql_line_dedup(),
         "media_pixel_features": """
             WITH mp AS (
               SELECT doc_id AS media_id,

@@ -953,3 +953,57 @@ def contamination_flags(
         .agg(F.count_distinct("h").alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 1,
+) -> DataFrame:
+    """(id, clean_text): corpus-level LINE deduplication — every line whose
+    hash appears in MORE THAN max_df distinct documents is removed from ALL
+    documents, and the surviving lines rejoin in their original order.
+    This is the boilerplate-line scrub of C4 ("three-sentence span" dedup's
+    line-level cousin) and RefinedWeb/Dolma's exact line dedup: navigation
+    bars, cookie banners and footers repeat across a site's every page and
+    would otherwise dominate the training distribution.
+
+    Scale shape: posexplode is per-row (scan stage); the document-frequency
+    aggregation shuffles once on the line hash with partial aggregation
+    (hot boilerplate lines combine map-side, so a line appearing on 10^9
+    pages contributes one row per map partition, not 10^9 shuffle rows);
+    the removal is a left_anti join on the SAME hash key (no second
+    shuffle of the lines); the rebuild groups by doc id (the one unavoidable
+    reshuffle, proportional to SURVIVING lines only).  Line identity is the
+    engine-portable md5-prefix hash32."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    ).withColumn("h", hash32(F.col("line")))
+    common = (
+        lines.groupBy("h")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h")
+    )
+    kept = lines.join(common, "h", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text")
+    )
+    # documents whose every line was boilerplate still appear (empty text)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id", F.coalesce("clean_text", F.lit("")).alias("clean_text")
+        )
+    )

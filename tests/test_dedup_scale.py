@@ -288,3 +288,31 @@ def test_lsh_hot_bucket_star_edges_preserve_components(spark):
     assert len({v for k, v in cc_clique.items() if k < hot}) == 1
     clique.unpersist()
     star.unpersist()
+
+
+def test_dedup_lines_scrubs_boilerplate_keeps_order(spark):
+    """Corpus-level line dedup: lines in >max_df docs vanish from ALL docs,
+    unique lines survive in original order, all-boilerplate docs come back
+    empty (not missing)."""
+    from image_ocr_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "NAV\nalpha one\nbeta two\nFOOTER"),
+            (2, "NAV\ngamma three\nFOOTER"),
+            (3, "NAV\nFOOTER"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r.clean_text for r in dedup_lines(docs).collect()}
+    assert got == {
+        1: "alpha one\nbeta two",
+        2: "gamma three",
+        3: "",  # every line was boilerplate -> empty, not missing
+        4: "",  # null text -> single '' line, unique -> kept as ''
+    }
+    # max_df=3: NAV/FOOTER (df=3) survive everywhere
+    got3 = {r.id: r.clean_text for r in dedup_lines(docs, max_df=3).collect()}
+    assert got3[1] == "NAV\nalpha one\nbeta two\nFOOTER"
+    assert got3[3] == "NAV\nFOOTER"

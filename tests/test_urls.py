@@ -45,3 +45,25 @@ def test_url_normalize_edges(spark):
     assert cross["https://example.com:80/x"] == "https://example.com:80/x"
     # path case preserved
     assert got["http://example.com/UPPER/Path"] == "http://example.com/UPPER/Path"
+
+
+def test_pii_redaction_golden(spark):
+    """Fixed-order PII scrub: every rule fires, placeholders don't cascade,
+    non-PII digits survive."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.functions.pii import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io, ip 192.168.1.200, card "
+             "4111 1111 1111 1111, call +81-90-1234, year 2024 price 99")],
+        "id long, t string",
+    )
+    row = df.select(
+        redact_pii(F.col("t")).alias("clean"), *pii_counts(F.col("t"))
+    ).collect()[0]
+    assert row.clean == (
+        "mail <EMAIL>, ip <IP>, card <CARD>, call <PHONE>, "
+        "year 2024 price 99"
+    )
+    assert (row.n_email, row.n_ip, row.n_card, row.n_phone) == (1, 1, 1, 1)
