@@ -151,3 +151,29 @@ def test_decontamination_broadcasts_benchmark(spark, documents):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pii_redaction_is_shuffle_free(spark, documents):
+    """The PII scrub is pure per-row expressions: ZERO Exchange — at 100 TB
+    it rides the scan stage for free."""
+    from image_ocr_spark.functions.pii import pii_counts, redact_pii
+
+    df = documents.select(
+        "doc_id",
+        redact_pii(F.coalesce(F.col("text"), F.lit(""))).alias("clean"),
+        *pii_counts(F.coalesce(F.col("text"), F.lit(""))),
+    )
+    assert "Exchange" not in _formatted(df)
+
+
+def test_line_dedup_shuffle_shape(spark, documents):
+    """dedup_lines: the df-count aggregation and the left_anti removal hash
+    on the SAME line-hash key, the rebuild regroups by doc — no cartesian,
+    no sort-merge explosion, and exchange count stays small and fixed."""
+    from image_ocr_spark.operators.dedup import dedup_lines
+
+    plan = _formatted(dedup_lines(documents.select("doc_id", "text")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # hash partitionings only (line hash + doc id); bounded and fixed
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
