@@ -254,9 +254,6 @@ def q_media_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channels",
         F.posexplode("mean_micro").alias("chan", "chan_mean_micro"),
         "entropy_milli",
-    ).select(
-        "media_id", "width", "height", "channels",
-        "chan", "chan_mean_micro", "entropy_milli",
     )
 
 
@@ -1431,10 +1428,16 @@ def _sql_batched_init_seeds(num_centroids: int = 32, batch: int = 8) -> str:
             f"UNION ALL SELECT * FROM nx{r})"
         )
         chosen += take
+    # re-number contiguously: when the corpus has fewer usable rows than
+    # num_centroids a round under-fills and the running `chosen` offset
+    # would leave ord gaps, while Spark enumerates selection order 0..U-1
+    # (review r4 finding); ord stays monotone with selection order, so
+    # ROW_NUMBER over it reproduces the Spark numbering exactly
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT ord AS cid, vid FROM ch{r}"
+        + f"\nSELECT row_number() OVER (ORDER BY ord) - 1 AS cid, vid "
+        f"FROM ch{r}"
     )
 
 
@@ -1521,8 +1524,8 @@ def _sql_pii_redact() -> str:
 
 def _sql_line_dedup(max_df: int = 1) -> str:
     """DuckDB replay of q_line_dedup: same injected navbar/footer corpus,
-    same md5-prefix line hashes, df counted as DISTINCT docs, survivors
-    rejoined in position order."""
+    same 60-bit md5-prefix line hashes, df counted as DISTINCT docs,
+    survivors rejoined in position order."""
     return f"""
         WITH src AS (
           SELECT doc_id AS id,
@@ -1539,7 +1542,7 @@ def _sql_line_dedup(max_df: int = 1) -> str:
           FROM ln0
         ), h AS (
           SELECT id, pos, line,
-                 ('0x' || substr(md5(line), 1, 8))::BIGINT AS hh
+                 ('0x' || substr(md5(line), 1, 15))::BIGINT AS hh
           FROM ln
         ), common AS (
           SELECT hh FROM h GROUP BY hh

@@ -746,6 +746,33 @@ def _persistent_rdd_ids(sc) -> set:
     return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
 
 
+def _ckpt_rdd_id(df: DataFrame) -> int:
+    """EXACT id of the persisted RDD backing an eagerly localCheckpoint'ed
+    DataFrame: its analyzed plan is a LogicalRDD over that RDD.  Precise
+    attribution — no before/after census diffing, so relations persisted
+    CONCURRENTLY by other queries on the same session are never
+    misattributed and freed (review r4 finding)."""
+    return int(df._jdf.queryExecution().analyzed().rdd().id())
+
+
+# final-labels checkpoints of past dedup_components calls, by storage id.
+# NOT auto-released: unpersisting a localCheckpoint DESTROYS the data
+# (lineage is truncated — there is nothing to recompute from), so freeing
+# a previous call's result could break a caller still holding it.  Call
+# release_component_checkpoints(spark) once prior results are consumed.
+_CC_CKPT_IDS: set = set()
+
+
+def release_component_checkpoints(spark) -> None:
+    """Free the checkpoint storage of ALL previously returned
+    dedup_components results.  Only call after their consumers are done:
+    unlike a cache unpersist this removes the data itself (localCheckpoint
+    has no lineage to recompute), and the released DataFrames become
+    unusable."""
+    _unpersist_rdd_ids(spark.sparkContext, set(_CC_CKPT_IDS))
+    _CC_CKPT_IDS.clear()
+
+
 def _unpersist_rdd_ids(sc, rdd_ids: set) -> None:
     jmap = sc._jsc.getPersistentRDDs()
     for k in list(jmap.keySet().toArray()):
@@ -803,7 +830,6 @@ def dedup_components(
 
     Driver traffic per round is ONE scalar (the changed-row count)."""
     sc = ids.sparkSession.sparkContext
-    base_rdds = _persistent_rdd_ids(sc)
     # symmetric edge list in ONE pass over pairs (a union of two selects
     # would scan — and for an unpersisted pair plan, recompute — it twice)
     edges = (
@@ -825,12 +851,10 @@ def dedup_components(
 
     def _ckpt(df: DataFrame, prev_ids: set) -> tuple:
         """Eager localCheckpoint + free the storage of the superseded
-        round; returns (checkpointed df, its storage rdd-ids)."""
-        pre = _persistent_rdd_ids(sc)
+        round; returns (checkpointed df, its EXACT storage rdd-id)."""
         out = df.localCheckpoint(eager=True)
-        new_ids = _persistent_rdd_ids(sc) - pre
         _unpersist_rdd_ids(sc, prev_ids)
-        return out, new_ids
+        return out, {_ckpt_rdd_id(out)}
 
     # loop state: only nodes that appear in some pair (both directions are
     # in edges, so src alone covers every endpoint)
@@ -891,7 +915,7 @@ def dedup_components(
             break
     if not converged:
         edges.unpersist()
-        _unpersist_rdd_ids(sc, _persistent_rdd_ids(sc) - base_rdds)
+        _unpersist_rdd_ids(sc, own_ids)
         raise RuntimeError(
             f"dedup_components did not converge in {max_iters} rounds — "
             "a component has label-path length > 2^(max_iters-"
@@ -900,7 +924,9 @@ def dedup_components(
     edges.unpersist()
     # singletons come from the ids scan at read time, so the full O(N)
     # result is never materialized to storage; the only storage held on
-    # return is the final touched-node labels checkpoint (own_ids)
+    # return is the final touched-node labels checkpoint (own_ids),
+    # registered for explicit release via release_component_checkpoints
+    _CC_CKPT_IDS.update(own_ids)
     return (
         ids.select(F.col(id_col).alias("id"))
         .join(labels, "id", "left")
@@ -976,13 +1002,16 @@ def dedup_lines(
     the removal is a left_anti join on the SAME hash key (no second
     shuffle of the lines); the rebuild groups by doc id (the one unavoidable
     reshuffle, proportional to SURVIVING lines only).  Line identity is the
-    engine-portable md5-prefix hash32."""
+    engine-portable 60-bit md5-prefix hash — at the corpus scale this
+    operator targets, a 32-bit space collides at ~77k distinct lines
+    (review r4 finding: a colliding unique line would be silently scrubbed
+    everywhere); 2^60 pushes the birthday bound past 10^8 lines."""
     lines = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
         ).alias("pos", "line"),
-    ).withColumn("h", hash32(F.col("line")))
+    ).withColumn("h", hash60(F.col("line")))
     common = (
         lines.groupBy("h")
         .agg(F.count_distinct("id").alias("df"))

@@ -570,7 +570,12 @@ def maxcos_arrow(vecs: DataFrame, seeds: list) -> DataFrame:
     list [(id, [float,...])].  Zero-norm rows are DROPPED (they have no
     direction and must never seed a centroid).  max is order-independent
     over floats, so the value is bit-identical to DuckDB's max() over the
-    per-seed fold-order cosines."""
+    per-seed fold-order cosines.
+
+    The vector column passes through with Arrow `take` in its ORIGINAL
+    type (review r4 finding: re-emitting through a float32 builder
+    silently rounded array<double> corpora, so seeds collected from the
+    output diverged from the full-precision greedy sweep)."""
     import numpy as np
     import pyarrow as pa
 
@@ -580,27 +585,23 @@ def maxcos_arrow(vecs: DataFrame, seeds: list) -> DataFrame:
             if n == 0:
                 continue
             vid = batch.column(0).to_numpy(zero_copy_only=False)
-            flat, V = _flat_f64(batch.column(1), n)
-            d = V.shape[1]
+            _, V = _flat_f64(batch.column(1), n)
             sims = _cos_matrix(V, seeds)
             mc = np.max(sims, axis=1)
             keep = ~np.isneginf(mc)  # seeds are never zero-norm, so -inf
             rows = np.flatnonzero(keep)  # means THIS row is degenerate
-            offsets = np.arange(0, (len(rows) + 1) * d, d, dtype=np.int32)
-            v_arr = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()),
-                pa.array(flat.reshape(n, d)[rows].ravel(), pa.float32()),
-            )
+            take = pa.array(rows, pa.int64())
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(vid[rows], pa.int64()),
-                    v_arr,
+                    batch.column(1).take(take),
                     pa.array(mc[rows], pa.float64()),
                 ],
                 ["vid", "v", "maxcos"],
             )
 
-    return vecs.mapInArrow(fn, "vid long, v array<float>, maxcos double")
+    vtype = vecs.schema["v"].dataType.simpleString()
+    return vecs.mapInArrow(fn, f"vid long, v {vtype}, maxcos double")
 
 
 # above this C, kmeans_train's "auto" init switches from the driver-sampled
@@ -672,15 +673,22 @@ def _batched_farthest_points(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     ).persist()  # R rounds re-scan the corpus; cache it once
     try:
-        head = vecs.orderBy("vid").limit(DEFAULT_SAMPLE_SIZE).collect()
-        seeds: list = []
-        for r in head:
-            v = [float(x) for x in r.v]
-            if _py_dot(v, v) > 0:
-                seeds.append((int(r.vid), v))
-                break
-        if not seeds:
+        # smallest-vid NON-degenerate row over the WHOLE corpus (review r4
+        # finding: a fixed 64-row head window diverged from the oracle's
+        # full-scan filter whenever the smallest vids were all zero-norm).
+        # The norm filter is a scan-stage expression; orderBy+limit is a
+        # TakeOrdered, so this is one cheap corpus pass.
+        norm = F.aggregate(
+            F.transform("v", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        head = vecs.filter(norm > 0).orderBy("vid").limit(1).collect()
+        if not head:
             return []
+        seeds: list = [
+            (int(head[0].vid), [float(x) for x in head[0].v])
+        ]
         if batch is None:
             batch = max(16, -(-num_centroids // 8))  # <= ~8 rounds
         while len(seeds) < num_centroids:

@@ -100,10 +100,13 @@ def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
 def png_decode(data: bytes) -> Tuple[int, int, int, bytes]:
     """(width, height, channels, pixels) from a baseline PNG.
 
-    Raises ValueError on anything outside the supported envelope (bad
-    magic, CRC mismatch, interlace, non-8-bit, unknown color type) — the
-    CALLER decides whether unsupported media is skipped or fatal (the
-    Spark feature operator skips, per the never-raise pipeline policy)."""
+    Raises ValueError — and ONLY ValueError — on anything outside the
+    supported envelope (bad magic, CRC mismatch, interlace, non-8-bit,
+    unknown color type, zero dimensions, malformed chunk bodies,
+    undecompressable IDAT): the CALLER decides whether unsupported media
+    is skipped or fatal, and the Spark feature operator catches exactly
+    ValueError (review r4 finding: a zlib.error or struct.error escaping
+    here would kill the whole Arrow task instead of skipping the row)."""
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG (bad magic)")
     pos = 8
@@ -120,6 +123,8 @@ def png_decode(data: bytes) -> Tuple[int, int, int, bytes]:
             raise ValueError(f"CRC mismatch in {ctype!r}")
         pos += 12 + length
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("malformed IHDR")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -127,6 +132,8 @@ def png_decode(data: bytes) -> Tuple[int, int, int, bytes]:
                 raise ValueError("unsupported PNG (need 8-bit, no interlace)")
             if color not in _CHANNELS:
                 raise ValueError(f"unsupported color type {color}")
+            if width < 1 or height < 1:
+                raise ValueError("zero-dimension PNG")
             channels = _CHANNELS[color]
         elif ctype == b"IDAT":
             idat.extend(body)
@@ -135,7 +142,10 @@ def png_decode(data: bytes) -> Tuple[int, int, int, bytes]:
     if width < 0 or not idat:
         raise ValueError("missing IHDR/IDAT")
     d = zlib.decompressobj()
-    raw = d.decompress(bytes(idat), MAX_PIXEL_BYTES)
+    try:
+        raw = d.decompress(bytes(idat), MAX_PIXEL_BYTES)
+    except zlib.error as exc:
+        raise ValueError(f"undecompressable IDAT: {exc}") from exc
     if d.unconsumed_tail:
         raise ValueError("pixel data exceeds inflate cap")
     stride = width * channels

@@ -81,3 +81,31 @@ def test_operator_skips_non_png_rows(spark):
     assert {r.media_id for r in rows} == set(range(6))  # junk skipped
     for r in rows:
         assert len(r.mean_micro) == r.channels
+
+
+def test_valid_crc_junk_idat_raises_valueerror_only():
+    """Review r4: a PNG-magic payload with VALID chunk CRCs but a non-zlib
+    IDAT body must raise ValueError (the operator's skip contract), never
+    zlib.error."""
+    from image_ocr_spark.pycore.pngdec import _chunk
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"this is not deflate data")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="undecompressable"):
+        png_decode(raw)
+
+
+def test_zero_dimension_png_raises_valueerror():
+    """Review r4: width=0 must be rejected at decode (downstream feature
+    math divides by w*h)."""
+    from image_ocr_spark.pycore.pngdec import _chunk
+
+    ihdr = struct.pack(">IIBBBBB", 0, 4, 8, 0, 0, 0, 0)
+    raw = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"")) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="zero-dimension"):
+        png_decode(raw)

@@ -103,9 +103,25 @@ def _rowset(cols, rows):
 @pytest.fixture(scope="module")
 def spark():
     """Module override of the shared local[4] session: the sf1.0 tier gets
-    16 cores (the bench HI level), matching how BASELINE.md reports it."""
+    16 cores (the bench HI level), matching how BASELINE.md reports it.
+
+    getOrCreate returns any EXISTING session regardless of master (review
+    r4 finding): when the full suite already holds the shared local[4]
+    session, stopping "our" session here would kill the SparkContext for
+    every later test module.  So: reuse a pre-existing session untouched
+    (the tier then runs at that session's parallelism), and only
+    create-and-stop when this module runs standalone — the documented
+    BASELINE.md configuration."""
+    from pyspark.sql import SparkSession
+
     from image_ocr_spark.session import get_spark
 
+    existing = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
+    if existing is not None and not existing.sparkContext._jsc.sc().isStopped():
+        yield existing
+        return
     spark = get_spark(
         "local[16]", app_name="sf1-stress", shuffle_partitions=32
     )
@@ -159,11 +175,15 @@ def test_no_cached_relation_leaks_after_battery(spark):
     extraction caches the entry module owns — a leak like r03's
     dedup_components projection-unpersist would show up here as unbounded
     growth."""
-    from image_ocr_spark.operators.dedup import release_sig_caches
+    from image_ocr_spark.operators.dedup import (
+        release_component_checkpoints,
+        release_sig_caches,
+    )
 
     import __spark_entry__ as e
 
     release_sig_caches()
+    release_component_checkpoints(spark)
     e.clear_extract_cache()
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     leftover = len(jmap)

@@ -344,3 +344,65 @@ def test_clustered_corpus_recall_gate(spark):
     ).collect()
     mean = sum(r.recall_milli for r in rows) / len(rows)
     assert mean >= 900, f"clustered recall collapsed: {mean}"
+
+
+def test_batched_init_first_seed_skips_degenerate_prefix(spark):
+    """Review r4: the first seed must be the smallest-vid NON-degenerate
+    row over the WHOLE corpus — not just a fixed head window.  With the
+    70 smallest vids all zero-norm, the seed comes from beyond them."""
+    from image_ocr_spark.operators.similarity import kmeans_batched_seed_ids
+
+    rows = [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(70)]
+    rows += [(100 + i, [1.0, float(i % 5), 0.5, float(i % 3)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = kmeans_batched_seed_ids(emb, 4, batch=2)
+    assert [cid for cid, _ in seeds] == [0, 1, 2, 3]
+    assert seeds[0][1] == 100  # smallest non-degenerate vid
+    assert all(vid >= 100 for _, vid in seeds)
+
+
+def test_batched_init_preserves_double_precision(spark):
+    """Review r4: the scored relation must pass vectors through in their
+    ORIGINAL type — an array<double> corpus must produce seeds bit-equal
+    to the full-precision greedy sweep (a float32 re-emit rounded them)."""
+    from image_ocr_spark.operators.similarity import (
+        kmeans_batched_init,
+        kmeanspp_init,
+    )
+
+    emb = spark.range(120).selectExpr(
+        "id AS vec_id",
+        "array(1.0 + id / 97.0, (id % 7) / 13.0, (id % 11) / 31.0, 0.125) "
+        "AS embedding",
+    )
+    greedy = kmeanspp_init(emb, 9, sample_size=120)
+    batched = kmeans_batched_init(emb, 9, batch=1)
+    assert greedy == [(i, [float(x) for x in v]) for i, v in batched]
+
+
+def test_batched_seed_oracle_contiguous_on_short_corpus(spark):
+    """Review r4: when the corpus has fewer usable rows than
+    num_centroids, Spark numbers seeds 0..U-1 contiguously — the DuckDB
+    replay must renumber across its under-filled rounds identically."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from image_ocr_spark.operators.similarity import kmeans_batched_seed_ids
+
+    rows = [(i, [1.0, float(i), 0.25 * i, 1.5]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = kmeans_batched_seed_ids(emb, 32, batch=8)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, [1.0, {float(i)}, {0.25 * i}, 1.5])" for i in range(5)
+        )
+        + ") AS t(vec_id, embedding)"
+    )
+    oracle = con.execute(
+        entrymod._sql_batched_init_seeds(num_centroids=32, batch=8)
+    ).fetchall()
+    con.close()
+    assert sorted(seeds) == sorted((int(c), int(v)) for c, v in oracle)
+    assert [c for c, _ in sorted(seeds)] == [0, 1, 2, 3, 4]
