@@ -315,8 +315,7 @@ def assign_cells_arrow(
             if n == 0:
                 continue
             vid = batch.column(0).to_numpy(zero_copy_only=False)
-            flat, V = _flat_f64(batch.column(1), n)
-            d = V.shape[1]
+            _, V = _flat_f64(batch.column(1), n)
             sims = _cos_matrix(V, cents)
             k = min(nprobe, len(cents))
             # degenerate rows (zero-norm vector, or every centroid
@@ -349,22 +348,22 @@ def assign_cells_arrow(
                         taken += 1
                 rows = np.array(rows_l, dtype=np.int64)
                 out_cell = np.array(cell_l, dtype=np.int64)
-            out_flat = flat.reshape(n, d)[rows].ravel()
-            offsets = np.arange(0, (len(rows) + 1) * d, d, dtype=np.int32)
-            v_arr = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), pa.array(out_flat, pa.float32())
-            )
+            # pass vectors through in their ORIGINAL Arrow type (take
+            # handles the row repetition of nprobe > 1): a float32 re-emit
+            # silently rounded array<double> corpora (review r4, same fix
+            # as maxcos_arrow)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(vid[rows], pa.int64()),
-                    v_arr,
+                    batch.column(1).take(pa.array(rows, pa.int64())),
                     pa.array(out_cell, pa.int64()),
                 ],
                 ["vid", "v", "cell"],
             )
 
+    vtype = vecs.schema["v"].dataType.simpleString()
     return vecs.select("vid", "v").mapInArrow(
-        fn, "vid long, v array<float>, cell long"
+        fn, f"vid long, v {vtype}, cell long"
     )
 
 

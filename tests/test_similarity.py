@@ -406,3 +406,25 @@ def test_batched_seed_oracle_contiguous_on_short_corpus(spark):
     con.close()
     assert sorted(seeds) == sorted((int(c), int(v)) for c, v in oracle)
     assert [c for c, _ in sorted(seeds)] == [0, 1, 2, 3, 4]
+
+
+def test_ivf_double_corpus_arrow_matches_expr(spark):
+    """Review r4 follow-through: the Arrow assignment path must preserve
+    array<double> vectors end-to-end (no float32 re-emit), so IVF results
+    on a double corpus match the full-precision expression twin."""
+    from image_ocr_spark.operators.similarity import ivf_topk
+
+    emb = spark.range(150).selectExpr(
+        "id AS vec_id",
+        "array(1.0 + id / 97.0, (id % 7) / 13.0, (id % 11) / 31.0, 0.625) "
+        "AS embedding",
+    )
+    q = emb.filter(F.col("vec_id") < 8)
+    kw = dict(k=5, num_centroids=6, iters=2, nprobe=2)
+
+    def key(df):
+        return sorted((r.query_id, r.rank, r.neighbor_id) for r in df.collect())
+
+    assert key(ivf_topk(emb, q, impl="arrow", **kw)) == key(
+        ivf_topk(emb, q, impl="expr", **kw)
+    )
