@@ -232,6 +232,22 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(corpus)
 
 
+MIXTURE_RATES = {"en": 0.9, "zh": 0.5, "de": 0.25, "es": 0.125}
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data MIXING (GPT-3 Table 2.2 / The Pile style): each
+    language sampled at its mixture rate via the deterministic
+    hash-threshold rule — per-row, zero shuffle, resumable (same corpus
+    -> same subset).  'fr' is intentionally absent from the rates: unknown
+    groups drop to rate 0."""
+    from image_ocr_spark.operators.sampling import sample_mixture
+
+    return sample_mixture(
+        _docs(spark, sf_dir).select("doc_id", "lang"), MIXTURE_RATES
+    ).select("doc_id", "lang")
+
+
 def q_media_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel stats through a from-scratch PNG codec (VERDICT r03 item
     3, graft of the reference's pixel-level preprocessing,
@@ -1053,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixel_features": q_media_pixel_features,
         "pii_redact": q_pii_redact,
         "line_dedup": q_line_dedup,
+        "corpus_mixture": q_corpus_mixture,
         "label_spans": q_label_spans,
         "span_below": q_span_below,
         "classify_reasoning": q_classify_reasoning,
@@ -1495,6 +1512,20 @@ def _sql_kmeans_ivf(
           FROM s)
         WHERE rank <= {k}"""
     )
+
+
+def _sql_corpus_mixture() -> str:
+    """DuckDB replay of q_corpus_mixture, built from the SAME rate dict:
+    keep iff md5_32('mix' || doc_id) / 2^32 < rate(lang), unknown langs
+    rate 0."""
+    rate = "0.0"
+    for g, r in sorted(MIXTURE_RATES.items()):
+        rate = f"CASE WHEN lang = '{g}' THEN {float(r)} ELSE {rate} END"
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0 < ({rate})
+    """
 
 
 def _sql_pii_redact() -> str:
@@ -2152,6 +2183,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_redact": _sql_pii_redact(),
         "line_dedup": _sql_line_dedup(),
+        "corpus_mixture": _sql_corpus_mixture(),
         "media_pixel_features": """
             WITH mp AS (
               SELECT doc_id AS media_id,

@@ -316,3 +316,35 @@ def test_dedup_lines_scrubs_boilerplate_keeps_order(spark):
     got3 = {r.id: r.clean_text for r in dedup_lines(docs, max_df=3).collect()}
     assert got3[1] == "NAV\nalpha one\nbeta two\nFOOTER"
     assert got3[3] == "NAV\nFOOTER"
+
+
+def test_sample_mixture_rates_and_determinism(spark):
+    """Mixture sampling: per-group rates hold approximately, unknown
+    groups drop entirely, repeated runs pick the IDENTICAL subset, and
+    the plan is shuffle-free."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.sampling import sample_mixture
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("xx")
+        .alias("lang"),
+    )
+    out = sample_mixture(docs, {"en": 0.8, "de": 0.2})
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert "xx" not in by_lang  # unknown group -> rate 0
+    n_group = 4000 // 3
+    assert abs(len(by_lang["en"]) / n_group - 0.8) < 0.05
+    assert abs(len(by_lang["de"]) / n_group - 0.2) < 0.05
+    again = {r.doc_id for r in sample_mixture(docs, {"en": 0.8, "de": 0.2}).collect()}
+    assert again == by_lang["en"] | by_lang["de"]  # deterministic subset
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
