@@ -135,15 +135,61 @@ def worker(threads: int, path: str, skew: bool = False) -> None:
     spark.stop()
 
 
+def pairs_worker(threads: int, sf_dir: str) -> None:
+    """Pinned-JVM pass server for the SHUFFLE-HEAVY pair path: one
+    minhash_lsh_pairs count over the variant-injected sf corpus per 'go'
+    (band-key shuffle + distinct — the scaling story the tokenizer's
+    embarrassingly-parallel scan can't show)."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.dedup import minhash_lsh_pairs, with_variants
+    from image_ocr_spark.session import get_spark
+
+    extra = {"spark.driver.memory": "12g",
+             "spark.driver.extraJavaOptions": "-Xms12g -XX:+UseG1GC"}
+    spark = get_spark(
+        f"local[{threads}]",
+        app_name=f"bench-pairs-{threads}",
+        shuffle_partitions=threads * 2,
+        extra_conf=extra,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # replicate so per-pass work dwarfs fixed job overhead (a 1.5 s job
+    # measures scheduling latency, not scaling)
+    replicas = int(os.environ.get("SPARK_GRAFT_PAIRS_REPLICAS", "24"))
+    reps = spark.range(replicas).select(F.col("id").alias("_r"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.lit(" r"), F.col("_r").cast("string")).alias("text"),
+    )
+    corpus = with_variants(big).repartition(threads * 2).persist()
+    corpus.count()
+
+    def one_pass() -> float:
+        t0 = time.time()
+        minhash_lsh_pairs(corpus).count()
+        return time.time() - t0
+
+    one_pass()  # warm
+    print(json.dumps({"ready": True}), flush=True)
+    for line in sys.stdin:
+        if line.strip() != "go":
+            break
+        print(json.dumps({"t": one_pass()}), flush=True)
+    spark.stop()
+
+
 class PinnedWorker:
     """Pinned subprocess running `worker`; one timed pass per ask()."""
 
-    def __init__(self, threads: int, cores: str, path: str, skew: bool = False):
+    def __init__(self, threads: int, cores: str, path: str, skew: bool = False,
+                 mode: str = "--worker"):
         tag = cores.replace("-", "_")
         self.errlog = os.path.join(CACHE_ROOT, f"worker-{threads}-{tag}.stderr")
         self._errfh = open(self.errlog, "w")
         argv = ["taskset", "-c", cores, sys.executable,
-                os.path.abspath(__file__), "--worker", str(threads), path]
+                os.path.abspath(__file__), mode, str(threads), path]
         if skew:
             argv.append("--skew")
         self.p = subprocess.Popen(
@@ -333,15 +379,63 @@ def dedup_skew_main() -> None:
     }))
 
 
+def pairs_scaling_main() -> None:
+    """N-vs-4N scaling for the shuffle-heavy pair path (minhash LSH over
+    the sf corpus + variants): same disjoint-pinned-core, coinciding-window
+    methodology as the flagship — each efficiency sample is one lo pass
+    co-running with back-to-back hi passes."""
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    ncpu = os.cpu_count() or 1
+    if ncpu >= LO + HI:
+        lo_cores, hi_cores = f"0-{LO - 1}", f"{LO}-{LO + HI - 1}"
+    else:
+        lo_cores = f"0-{min(LO, ncpu) - 1}"
+        hi_cores = f"0-{min(HI, ncpu) - 1}"
+    lo_w = PinnedWorker(LO, lo_cores, SF_DIR, mode="--pairs-worker")
+    hi_w = PinnedWorker(HI, hi_cores, SF_DIR, mode="--pairs-worker")
+    lo_w.wait_ready()
+    hi_w.wait_ready()
+    ratio = max(1, HI // LO)
+    best = {LO: float("inf"), HI: float("inf")}
+    effs = []
+    for _ in range(4):
+        lo_w.go()
+        his = [hi_w.ask() for _ in range(ratio)]
+        t_lo = lo_w.read_t()
+        t_hi = min(his)
+        best[LO] = min(best[LO], t_lo)
+        best[HI] = min(best[HI], t_hi)
+        effs.append((t_lo / t_hi) / ratio)
+    lo_w.close()
+    hi_w.close()
+    effs.sort()
+    print(json.dumps({
+        "metric": f"pairs_scaling_{_sf_tag()}_minhash_lsh",
+        "unit": "sec",
+        "lo_cpus": LO,
+        "hi_cpus": HI,
+        "lo_s": round(best[LO], 3),
+        "hi_s": round(best[HI], 3),
+        "scaling_efficiency": round(effs[len(effs) // 2], 3),
+        "scaling_samples": [round(e, 3) for e in effs],
+    }))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3], skew="--skew" in sys.argv[4:])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--pairs-worker":
+        pairs_worker(int(sys.argv[2]), sys.argv[3])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--dedup-skew":
         dedup_skew_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--pairs-scaling":
+        pairs_scaling_main()
         return
     os.makedirs(CACHE_ROOT, exist_ok=True)
     meta = prepare_pages()
