@@ -421,7 +421,46 @@ def pairs_scaling_main() -> None:
     }))
 
 
+def canary_main() -> None:
+    """Single-core pure-Python host-speed canary: tokenize+extract 2000
+    synthesized pages through pycore on ONE pinned cpu.  pycore is
+    code-stable across rounds, so this number separates 'the host is
+    slower today' from 'the code got slower' when flagship throughput
+    moves (r04: three flagship runs sat ~7% under r03's best window with
+    the flagship path code-identical — this canary makes that call
+    directly next time)."""
+    os.sched_setaffinity(0, {0})
+    import duckdb
+
+    from image_ocr_spark.fixtures.gen_pages import build_page
+    from image_ocr_spark.pycore.extractor import extract_page
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, coalesce(text, '') AS text, lang "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet') "
+        f"ORDER BY doc_id LIMIT 2000"
+    ).fetchall()
+    pages = [build_page(d, t, lang) for d, t, lang in rows]
+    # warm pass (regex compile, JIT-free but import/alloc effects)
+    for p in pages[:200]:
+        extract_page(p["html"])
+    t0 = time.time()
+    for p in pages:
+        extract_page(p["html"])
+    wall = time.time() - t0
+    print(json.dumps({
+        "metric": f"cpu_canary_{_sf_tag()}_pycore_1core",
+        "unit": "sec",
+        "docs": len(pages),
+        "wall_s": round(wall, 3),
+        "docs_per_sec_1core": round(len(pages) / wall, 1),
+    }))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--canary":
+        canary_main()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3], skew="--skew" in sys.argv[4:])
         return
