@@ -428,3 +428,27 @@ def test_ivf_double_corpus_arrow_matches_expr(spark):
     assert key(ivf_topk(emb, q, impl="arrow", **kw)) == key(
         ivf_topk(emb, q, impl="expr", **kw)
     )
+
+
+def test_embedding_dup_pairs_grouped_matches_arrow(spark):
+    """The grouped per-cell scorer (production default) must be
+    BIT-identical to the candidate-join + Arrow-verify path on the real
+    corpus — same pairs, same cos_milli."""
+    from image_ocr_spark.operators.dedup import VARIANT_OFFSET
+    from image_ocr_spark.operators.similarity import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.select((F.col("vec_id") + VARIANT_OFFSET).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(dup)
+    kw = dict(threshold_milli=990, num_centroids=8, iters=1, nprobe=2)
+    p_arrow = {
+        (r.id_a, r.id_b): r.cos_milli
+        for r in embedding_dup_pairs(corpus, impl="arrow", **kw).collect()
+    }
+    p_grouped = {
+        (r.id_a, r.id_b): r.cos_milli
+        for r in embedding_dup_pairs(corpus, impl="grouped", **kw).collect()
+    }
+    assert p_grouped == p_arrow and len(p_grouped) > 0
