@@ -46,9 +46,17 @@ def test_tokenizer_input_pruned(spark, pages_path):
 
 
 def test_dictionary_join_broadcasts(spark):
-    import __spark_entry__ as e
-
-    df = e.queries()["region_customers"](spark, "/root/testdata/sf0.001")
+    """J6 dictionary-join shape: small dims broadcast, the fact side never
+    shuffles (the retired region_customers demo, inlined)."""
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    r = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    df = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
     assert "BroadcastHashJoin" in _formatted(df)
 
 
