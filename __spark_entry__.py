@@ -188,7 +188,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (C4/Dolma-style): emails, IPv4s, card-shaped digit runs,
-    phone numbers counted then replaced with fixed placeholders — per-row
+    phone numbers (intl, parenthesized, and domestic-hyphenated forms)
+    counted then replaced with fixed placeholders — per-row
     expressions, zero shuffle.  The corpus injects deterministic PII built
     from doc_id in BOTH engines, so redacted text is byte-comparable."""
     from image_ocr_spark.functions.pii import pii_counts, redact_pii
@@ -1448,8 +1449,9 @@ def _sql_corpus_mixture() -> str:
 
 def _sql_pii_redact() -> str:
     """DuckDB replay of q_pii_redact, built from the SAME PII_RULES list
-    (single source of truth): same injected corpus, same counts on raw
-    text, same fixed redaction order ('g' flag = Spark's global default)."""
+    (single source of truth): same injected corpus, same sequential
+    counts, same fixed redaction order ('g' flag = Spark's global
+    default)."""
     from image_ocr_spark.functions.pii import PII_RULES
 
     t = (
@@ -1458,13 +1460,15 @@ def _sql_pii_redact() -> str:
         "' from 10.' || (doc_id % 256)::VARCHAR || '.0.' || "
         "((doc_id * 7) % 256)::VARCHAR || ' card 4111 1111 1111 1111'"
     )
-    counts = ", ".join(
-        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}"
-        for name, pat, _ in PII_RULES
-    )
-    red = "t"
-    for _, pat, placeholder in PII_RULES:
+    # sequential counts (r05): each rule counts on the prior rules' output,
+    # mirroring pii_counts exactly (a card run is never recounted as phone)
+    count_exprs, red = [], "t"
+    for name, pat, placeholder in PII_RULES:
+        count_exprs.append(
+            f"len(regexp_extract_all({red}, '{pat}'))::BIGINT AS n_{name}"
+        )
         red = f"regexp_replace({red}, '{pat}', '{placeholder}', 'g')"
+    counts = ", ".join(count_exprs)
     return (
         f"WITH src AS (SELECT doc_id, {t} AS t FROM documents) "
         f"SELECT doc_id, {red} AS clean_text, {counts} FROM src"

@@ -19,7 +19,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # ordered (name, pattern, placeholder): order MATTERS (an IPv4 inside a
-# URL must be gone before the phone pattern could nibble its digit runs)
+# URL must be gone before the phone pattern could nibble its digit runs,
+# and a card digit-run must be gone before the domestic phone alternation
+# could match inside it)
 PII_RULES = [
     (
         "email",
@@ -36,21 +38,36 @@ PII_RULES = [
         r"[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}",
         "<CARD>",
     ),
+    # phone (r05, VERDICT r04 item 8): three alternatives, leftmost-first
+    # order identical in Java/RE2/Python —
+    #   +CC-XXX(X)-XXXX(-XXXX)?   international, 3 or 4 segments
+    #   (NNN) NNN-NNNN            parenthesized area code (US / JP style)
+    #   NN(NN)-NN(NN)-NNNN        domestic hyphenated (03-1234-5678);
+    #                             final {4} keeps ISO dates (…-02) out
     (
         "phone",
-        r"\+[0-9]{1,3}[- ][0-9]{2,4}[- ][0-9]{3,4}",
+        r"\+[0-9]{1,3}[- ][0-9]{2,4}[- ][0-9]{3,4}(?:[- ][0-9]{3,4})?"
+        r"|\([0-9]{2,4}\)[ ]?[0-9]{2,4}[- ][0-9]{3,4}"
+        r"|[0-9]{2,4}-[0-9]{2,4}-[0-9]{4}",
         "<PHONE>",
     ),
 ]
 
 
 def pii_counts(text: Column) -> list:
-    """[n_email, n_ip, n_card, n_phone] as long columns, counted BEFORE
-    redaction (order-independent: counts run on the raw text)."""
-    return [
-        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
-        for name, pat, _ in PII_RULES
-    ]
+    """[n_email, n_ip, n_card, n_phone] as long columns, counted in the
+    SAME fixed order as redaction: each rule counts on the text with the
+    prior rules' placeholders already applied, so a card digit-run is
+    never double-counted as a phone (counts == number of placeholders
+    redact_pii emits per rule)."""
+    cols = []
+    cur = text
+    for name, pat, placeholder in PII_RULES:
+        cols.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, placeholder)
+    return cols
 
 
 def redact_pii(text: Column) -> Column:

@@ -56,7 +56,8 @@ def test_pii_redaction_golden(spark):
 
     df = spark.createDataFrame(
         [(1, "mail a.b+c@x-corp.io, ip 192.168.1.200, card "
-             "4111 1111 1111 1111, call +81-90-1234, year 2024 price 99")],
+             "4111 1111 1111 1111, call +81-90-1234, tel 03-1234-5678, "
+             "office (555) 123-4567, year 2024 price 99, ver 1.2-3.4-567")],
         "id long, t string",
     )
     row = df.select(
@@ -64,6 +65,25 @@ def test_pii_redaction_golden(spark):
     ).collect()[0]
     assert row.clean == (
         "mail <EMAIL>, ip <IP>, card <CARD>, call <PHONE>, "
-        "year 2024 price 99"
+        "tel <PHONE>, office <PHONE>, year 2024 price 99, ver 1.2-3.4-567"
     )
-    assert (row.n_email, row.n_ip, row.n_card, row.n_phone) == (1, 1, 1, 1)
+    assert (row.n_email, row.n_ip, row.n_card, row.n_phone) == (1, 1, 1, 3)
+
+
+def test_pii_domestic_phone_vs_dates(spark):
+    """The domestic-hyphenated alternative must not eat ISO dates or a
+    hyphenated card run (card placeholder lands first; counts are
+    sequential so the run is not recounted as a phone)."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.functions.pii import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "date 2024-01-02, card 4111-1111-1111-1111, ssn 123-45-6789")],
+        "id long, t string",
+    )
+    row = df.select(
+        redact_pii(F.col("t")).alias("clean"), *pii_counts(F.col("t"))
+    ).collect()[0]
+    assert row.clean == "date 2024-01-02, card <CARD>, ssn <PHONE>"
+    assert (row.n_card, row.n_phone) == (1, 1)
