@@ -348,3 +348,29 @@ def test_sample_mixture_rates_and_determinism(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+def test_no_cached_relation_leaks_after_module(spark):
+    """Ungated storage census (VERDICT r04 item 9): after this module's
+    dedup battery (the default suite's heaviest persist user), releasing
+    the operator-owned caches must leave at most the entry module's
+    per-(session, sf) extraction caches behind.  Runs in every CI pass —
+    a projection-unpersist leak like r03's dedup_components bug fails
+    here even when the env-gated sf0.1/sf1.0 stress tiers don't run.
+    Defined last in the file: pytest executes module tests in definition
+    order, so the census sees the whole battery's residue."""
+    from image_ocr_spark.operators.dedup import (
+        release_component_checkpoints,
+        release_sig_caches,
+    )
+
+    import __spark_entry__ as e
+
+    release_sig_caches()
+    release_component_checkpoints(spark)
+    e.clear_extract_cache()
+    leftover = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert leftover <= 2, (
+        f"{leftover} persisted RDDs remain after cache release — "
+        "an operator is leaking storage"
+    )
