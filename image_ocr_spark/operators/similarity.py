@@ -659,6 +659,39 @@ def kmeans_batched_seed_ids(
     return [(i, vid) for i, (vid, _) in enumerate(pts)]
 
 
+def _maxcos_update_arrow(state: DataFrame, new_seeds: list) -> DataFrame:
+    """(vid, v, maxcos) -> same rows with maxcos combined against ONLY the
+    newly selected seed batch: max(old, max-cos-to-new).  Float max is
+    exact and associative, so chaining these updates is bit-identical to
+    maxcos_arrow against the full seed list (the parity the DuckDB oracle
+    replays).  State rows are non-degenerate by construction (maxcos_arrow
+    dropped zero-norm rows when the state was born), so the -inf zero-norm
+    sentinel can never appear here."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            _, V = _flat_f64(batch.column(1), n)
+            old = batch.column(2).to_numpy(zero_copy_only=False)
+            sims = _cos_matrix(V, new_seeds)
+            mc = np.maximum(old, np.max(sims, axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    pa.array(mc, pa.float64()),
+                ],
+                ["vid", "v", "maxcos"],
+            )
+
+    vtype = state.schema["v"].dataType.simpleString()
+    return state.mapInArrow(fn, f"vid long, v {vtype}, maxcos double")
+
+
 def _batched_farthest_points(
     embeddings: DataFrame,
     num_centroids: int,
@@ -667,47 +700,70 @@ def _batched_farthest_points(
     vec_col: str,
 ) -> list:
     """[(vid, v)] selected by the deterministic batched farthest-point rule
-    (see kmeans_batched_init)."""
+    (see kmeans_batched_init).
+
+    r05 (VERDICT r04 item 3): the state is now INCREMENTAL — a running
+    (vid, v, maxcos) relation, eagerly localCheckpoint'ed per round, whose
+    maxcos is combined against ONLY each round's new seed batch and whose
+    selected rows leave by a batch-sized (not C-literal) isin filter.
+    Total score work drops from O(R*N*C*dim) (every round re-scored the
+    corpus against ALL seeds so far, and the closure re-shipped them) to
+    O(N*C*dim), the round's seed batch is the only closure payload, and
+    the per-round plan stays O(1) deep (the iterative-loop rule from
+    dedup_components: localCheckpoint(eager) both materializes and
+    truncates).  Selected rows are collected straight from the state —
+    the TakeOrdered rows already carry their vectors."""
+    from image_ocr_spark.operators.dedup import _ckpt_rdd_id, _unpersist_rdd_ids
+
+    sc = embeddings.sparkSession.sparkContext
     vecs = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
-    ).persist()  # R rounds re-scan the corpus; cache it once
+    )
+    # smallest-vid NON-degenerate row over the WHOLE corpus (review r4
+    # finding: a fixed 64-row head window diverged from the oracle's
+    # full-scan filter whenever the smallest vids were all zero-norm).
+    # The norm filter is a scan-stage expression; orderBy+limit is a
+    # TakeOrdered, so this is one cheap corpus pass.
+    norm = F.aggregate(
+        F.transform("v", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    head = vecs.filter(norm > 0).orderBy("vid").limit(1).collect()
+    if not head:
+        return []
+    seeds: list = [(int(head[0].vid), [float(x) for x in head[0].v])]
+    if batch is None:
+        batch = max(16, -(-num_centroids // 8))  # <= ~8 rounds
+    if len(seeds) >= num_centroids:
+        return seeds
+    state = maxcos_arrow(vecs, seeds).filter(
+        F.col("vid") != seeds[0][0]
+    ).localCheckpoint(eager=True)
+    ckpt_id = _ckpt_rdd_id(state)
     try:
-        # smallest-vid NON-degenerate row over the WHOLE corpus (review r4
-        # finding: a fixed 64-row head window diverged from the oracle's
-        # full-scan filter whenever the smallest vids were all zero-norm).
-        # The norm filter is a scan-stage expression; orderBy+limit is a
-        # TakeOrdered, so this is one cheap corpus pass.
-        norm = F.aggregate(
-            F.transform("v", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        head = vecs.filter(norm > 0).orderBy("vid").limit(1).collect()
-        if not head:
-            return []
-        seeds: list = [
-            (int(head[0].vid), [float(x) for x in head[0].v])
-        ]
-        if batch is None:
-            batch = max(16, -(-num_centroids // 8))  # <= ~8 rounds
         while len(seeds) < num_centroids:
             take = min(batch, num_centroids - len(seeds))
-            scored = maxcos_arrow(vecs, seeds).filter(
-                ~F.col("vid").isin([vid for vid, _ in seeds])
-            )
             rows = (
-                scored.orderBy(F.asc("maxcos"), F.asc("vid"))
+                state.orderBy(F.asc("maxcos"), F.asc("vid"))
                 .limit(take)
                 .collect()
             )
             if not rows:
                 break  # fewer distinct usable points than num_centroids
-            seeds.extend(
-                (int(r.vid), [float(x) for x in r.v]) for r in rows
-            )
+            new = [(int(r.vid), [float(x) for x in r.v]) for r in rows]
+            seeds.extend(new)
+            if len(seeds) >= num_centroids:
+                break  # the final round's state is never consumed
+            nxt = _maxcos_update_arrow(state, new).filter(
+                ~F.col("vid").isin([vid for vid, _ in new])
+            ).localCheckpoint(eager=True)
+            nxt_id = _ckpt_rdd_id(nxt)
+            _unpersist_rdd_ids(sc, {ckpt_id})
+            state, ckpt_id = nxt, nxt_id
         return seeds
     finally:
-        vecs.unpersist()
+        _unpersist_rdd_ids(sc, {ckpt_id})
 
 
 def kmeans_train(
