@@ -18,11 +18,18 @@ from ..fixtures.gen_pages import build_page
 from ..schemas import GEN_PAGE_SCHEMA
 
 
-def _gen(replicas: int):
+def _gen(replicas: int, max_rows: int = 50_000):
+    """Output batches are re-chunked at max_rows: the replica fan-out
+    amplifies one input batch by `replicas`, and a single yielded frame
+    whose html column exceeds Arrow's 2 GiB array limit becomes a
+    ChunkedArray the serializer rejects (hit at replicas=1200, r05) —
+    output volume, not input volume, must bound the batch."""
+
     def gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in GEN_PAGE_SCHEMA.fields]
+        out = {c: [] for c in cols}
+        n = 0
         for b in batches:
-            out = {c: [] for c in cols}
             for row in b.itertuples(index=False):
                 for r in range(replicas):
                     doc_id = int(row.doc_id) * replicas + r
@@ -33,6 +40,12 @@ def _gen(replicas: int):
                     out["html"].append(page["html"])
                     out["lang"].append(page["lang"])
                     out["kind"].append(page["kind"])
+                    n += 1
+                    if n >= max_rows:
+                        yield pd.DataFrame(out, columns=cols)
+                        out = {c: [] for c in cols}
+                        n = 0
+        if n:
             yield pd.DataFrame(out, columns=cols)
 
     return gen_batches
