@@ -136,3 +136,34 @@ def test_operator_decodes_png_and_jpeg_rows(spark):
     }
     for r in rows:
         assert len(r.mean_micro) == r.channels
+
+
+def test_fuzz_corruption_valueerror_contract():
+    """Seeded fuzz (flips/truncations/splices) over real encoded streams:
+    the decoder either decodes or raises ValueError — never IndexError /
+    KeyError / struct.error (3000-trial sweep run out-of-band r05; 300
+    here for CI speed)."""
+    rnd = random.Random(42)
+    base = [
+        jpeg_encode(*_synth_jpeg_pixels(m))
+        for m in (1000000, 1000001, 1000004)
+    ]
+    for trial in range(300):
+        raw = bytearray(rnd.choice(base))
+        mode = trial % 4
+        if mode == 0:
+            raw[rnd.randrange(len(raw))] ^= rnd.randrange(1, 256)
+        elif mode == 1:
+            raw = raw[: rnd.randrange(2, len(raw))]
+        elif mode == 2:
+            i = rnd.randrange(len(raw))
+            raw[i:i] = bytes(
+                rnd.randrange(256) for _ in range(rnd.randrange(1, 16))
+            )
+        else:
+            for _ in range(8):
+                raw[rnd.randrange(len(raw))] ^= rnd.randrange(1, 256)
+        try:
+            jpeg_decode(bytes(raw))
+        except ValueError:
+            pass
