@@ -261,7 +261,9 @@ def q_media_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes per-channel means + histogram entropy in integer units; the
     DuckDB oracle computes the same stats straight from the generative
     formulas — equality proves both codecs, not just the arithmetic.
-    JPEG media ids are offset by 1,000,000."""
+    JPEG media ids are offset by 10^12 — disjoint from any realistic
+    doc_id space (review r5: a 1e6 offset collides at the sf1.0 tier's
+    6M docs)."""
     from image_ocr_spark.operators.multimodal import (
         extract_pixel_features,
         synth_jpeg_media,
@@ -270,7 +272,7 @@ def q_media_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     media = synth_png_media(docs).unionByName(
-        synth_jpeg_media(docs, id_offset=1_000_000)
+        synth_jpeg_media(docs, id_offset=10**12)
     )
     feats = extract_pixel_features(media)
     return feats.select(
@@ -2084,11 +2086,12 @@ def oracle_sql() -> dict[str, str]:
                     FROM mp)
             ), jp AS (
               -- the generative formulas run on the OFFSET id (that is
-              -- what the fixture's mapInArrow sees)
-              SELECT doc_id + 1000000 AS media_id,
-                     (8 * (1 + (doc_id + 1000000) % 3))::INT AS width,
-                     (8 * (1 + (doc_id + 1000000) % 2))::INT AS height,
-                     (CASE (doc_id + 1000000) % 2 WHEN 0 THEN 1 ELSE 3
+              -- what the fixture's mapInArrow sees); 10^12 keeps the
+              -- JPEG id space disjoint from PNG ids at any tier
+              SELECT doc_id + 1000000000000 AS media_id,
+                     (8 * (1 + (doc_id + 1000000000000) % 3))::INT AS width,
+                     (8 * (1 + (doc_id + 1000000000000) % 2))::INT AS height,
+                     (CASE (doc_id + 1000000000000) % 2 WHEN 0 THEN 1 ELSE 3
                       END)::INT AS ch
               FROM documents
             ), jv AS (

@@ -387,7 +387,8 @@ def emb_skew_main() -> None:
     ~(m/cap)^2 bounded tasks.  The assigned relation is constructed
     directly (hot cell 0 + uniform background cells) so the measurement
     isolates the verify stage; pair sets must match exactly.  Passes
-    alternate uncapped/capped in the same noise window; best-of-3."""
+    alternate uncapped/capped in the same noise window; best-of-2 (the
+    uncapped straggler is ~110 s/pass)."""
     cpus = min(HI, os.cpu_count() or 1)
     os.sched_setaffinity(0, set(range(cpus)))
     from pyspark.sql import functions as F

@@ -18,17 +18,19 @@ from ..fixtures.gen_pages import build_page
 from ..schemas import GEN_PAGE_SCHEMA
 
 
-def _gen(replicas: int, max_rows: int = 50_000):
-    """Output batches are re-chunked at max_rows: the replica fan-out
-    amplifies one input batch by `replicas`, and a single yielded frame
-    whose html column exceeds Arrow's 2 GiB array limit becomes a
-    ChunkedArray the serializer rejects (hit at replicas=1200, r05) —
-    output volume, not input volume, must bound the batch."""
+def _gen(replicas: int, max_rows: int = 50_000, max_bytes: int = 256 << 20):
+    """Output batches are re-chunked at max_rows OR max_bytes of html,
+    whichever hits first: the replica fan-out amplifies one input batch
+    by `replicas`, and a single yielded frame whose html column exceeds
+    Arrow's 2 GiB array limit becomes a ChunkedArray the serializer
+    rejects (hit at replicas=1200, r05).  The byte bound matters because
+    the failing quantity is bytes — 50k rows alone would still overflow
+    past ~43 KB/page (review r5)."""
 
     def gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in GEN_PAGE_SCHEMA.fields]
         out = {c: [] for c in cols}
-        n = 0
+        n = nbytes = 0
         for b in batches:
             for row in b.itertuples(index=False):
                 for r in range(replicas):
@@ -41,10 +43,11 @@ def _gen(replicas: int, max_rows: int = 50_000):
                     out["lang"].append(page["lang"])
                     out["kind"].append(page["kind"])
                     n += 1
-                    if n >= max_rows:
+                    nbytes += len(page["html"])
+                    if n >= max_rows or nbytes >= max_bytes:
                         yield pd.DataFrame(out, columns=cols)
                         out = {c: [] for c in cols}
-                        n = 0
+                        n = nbytes = 0
         if n:
             yield pd.DataFrame(out, columns=cols)
 

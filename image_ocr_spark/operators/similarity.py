@@ -659,6 +659,25 @@ def kmeans_batched_seed_ids(
     return [(i, vid) for i, (vid, _) in enumerate(pts)]
 
 
+# persisted assignment relations from capped _dup_pairs_grouped calls,
+# awaiting release (the counts pre-pass would otherwise re-execute the
+# full N*C*dim assignment scan for the main pass — review r5 finding).
+# Mirrors dedup._SIG_CACHE: at most one call's assignment stays cached.
+_ASSIGN_CACHE: list = []
+
+
+def release_assign_caches() -> None:
+    """Unpersist every assignment relation a prior capped grouped-verify
+    call persisted.  Always safe: lineage is intact, a later reuse just
+    recomputes."""
+    while _ASSIGN_CACHE:
+        df = _ASSIGN_CACHE.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 def _maxcos_update_arrow(state: DataFrame, new_seeds: list) -> DataFrame:
     """(vid, v, maxcos) -> same rows with maxcos combined against ONLY the
     newly selected seed batch: max(old, max-cos-to-new).  Float max is
@@ -1035,11 +1054,29 @@ def _dup_pairs_grouped(
     out_schema = "id_a long, id_b long, cos_milli long"
     if max_cell is None:
         return assigned.groupBy("cell").applyInPandas(score, out_schema)
+    # the counts pre-pass and the main pass both consume `assigned`; an
+    # uncached assignment (a full N*C*dim mapInArrow scan) would execute
+    # TWICE.  Cache it for the pair of passes; release the previous
+    # call's cache so long-lived sessions hold at most one.
+    release_assign_caches()
+    assigned = assigned.persist()
+    _ASSIGN_CACHE.append(assigned)
     counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("m"))
+    salted = _salted_subblocks(assigned, counts, max_cell)
+    return salted.groupBy("cell", "lo", "hi").applyInPandas(score, out_schema)
+
+
+def _salted_subblocks(
+    assigned: DataFrame, counts: DataFrame, max_cell: int
+) -> DataFrame:
+    """(cell, vid, v, sb, lo, hi): each vector replicated to its nsub
+    sub-block-pair group keys (see _dup_pairs_grouped); split out so the
+    parity test can assert oversized cells REALLY fan out into multiple
+    groups."""
     nsub = F.greatest(
         F.lit(1), F.ceil(F.col("m") / F.lit(max_cell))
     ).cast("int")
-    salted = (
+    return (
         assigned.join(F.broadcast(counts), "cell")
         .withColumn("nsub", nsub)
         .withColumn(
@@ -1061,7 +1098,6 @@ def _dup_pairs_grouped(
             F.greatest("sb", "t").alias("hi"),
         )
     )
-    return salted.groupBy("cell", "lo", "hi").applyInPandas(score, out_schema)
 
 
 def embedding_dup_pairs(

@@ -430,9 +430,13 @@ def jpeg_decode(data: bytes) -> Tuple[int, int, int, bytes]:
     """(width, height, channels, pixels) from a baseline sequential JPEG.
 
     Supports what the scope note promises (8-bit, 1 or 3 components,
-    4:4:4, Huffman); raises ValueError on anything else — progressive,
-    subsampling, restart intervals, 12-bit, arithmetic coding, truncated
-    or corrupt streams — never a wrong decode."""
+    4:4:4, Huffman); any UNSUPPORTED feature — progressive, subsampling,
+    restart intervals, 12-bit, arithmetic coding — raises ValueError
+    rather than decoding wrong, as do structural corruptions (truncated
+    segments, bad lengths, invalid Huffman codes).  Bit flips INSIDE the
+    entropy-coded data that still form valid codes decode to different
+    pixels, as in any JPEG decoder — only ValueError ever escapes
+    (fuzz-tested), so the operator skip contract holds either way."""
     if len(data) < 4 or data[:2] != JPEG_MAGIC:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -481,6 +485,8 @@ def jpeg_decode(data: bytes) -> Tuple[int, int, int, bytes]:
                 htabs[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
         elif marker == 0xFFC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("jpeg: truncated SOF0")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -490,6 +496,8 @@ def jpeg_decode(data: bytes) -> Tuple[int, int, int, bytes]:
                 raise ValueError("jpeg: zero-dimension image")
             if w * h * ncomp > MAX_PIXEL_BYTES:
                 raise ValueError("jpeg: image too large")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("jpeg: truncated SOF0 component specs")
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -507,6 +515,8 @@ def jpeg_decode(data: bytes) -> Tuple[int, int, int, bytes]:
         elif marker == 0xFFDA:  # SOS
             if sof is None:
                 raise ValueError("jpeg: SOS before SOF0")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("jpeg: truncated SOS header")
             ns = body[0]
             w, h, comps = sof
             if ns != len(comps):

@@ -363,11 +363,13 @@ def test_no_cached_relation_leaks_after_module(spark):
         release_component_checkpoints,
         release_sig_caches,
     )
+    from image_ocr_spark.operators.similarity import release_assign_caches
 
     import __spark_entry__ as e
 
     release_sig_caches()
     release_component_checkpoints(spark)
+    release_assign_caches()
     e.clear_extract_cache()
     leftover = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert leftover <= 2, (

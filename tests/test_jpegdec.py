@@ -87,6 +87,19 @@ def test_zero_dimension_raises():
         jpeg_decode(bytes(raw))
 
 
+def test_truncated_segment_headers_raise_valueerror():
+    """Review r5: SOS/SOF0 bodies shorter than their component specs must
+    raise ValueError, not IndexError/struct.error (these exact repros
+    previously escaped the fuzz sweep's random flips)."""
+    raw = bytearray(jpeg_encode(*_synth_jpeg_pixels(1000001)))
+    for seg, newlen in ((b"\xff\xda", 2), (b"\xff\xda", 4), (b"\xff\xc0", 4)):
+        r = bytearray(raw)
+        i = r.find(seg)
+        struct.pack_into(">H", r, i + 2, newlen)
+        with pytest.raises(ValueError, match="truncated"):
+            jpeg_decode(bytes(r))
+
+
 def test_corrupt_huffman_stream_raises_valueerror_only():
     """Garbage in the entropy segment must surface as ValueError (the
     operator's skip contract), never an IndexError/KeyError."""

@@ -498,7 +498,12 @@ def test_grouped_hot_cell_cap_parity(spark):
     capped = pairs(32)
     assert capped == uncapped and len(capped) > 0
 
-    # the hot cell really splits: more applyInPandas groups than cells
+    # the hot cell REALLY splits: the capped path's distinct
+    # (cell, lo, hi) group count must exceed the cell count (a regression
+    # that silently computes nsub=1 everywhere would pass pair parity
+    # trivially — review r5 finding)
+    from image_ocr_spark.operators.similarity import _salted_subblocks
+
     cents = kmeans_train(corpus, 6, 1, "vec_id", "embedding", impl="arrow")
     assigned = assign_cells_arrow(
         corpus.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v")),
@@ -506,6 +511,13 @@ def test_grouped_hot_cell_cap_parity(spark):
         2,
     )
     n_cells = assigned.select("cell").distinct().count()
-    # group count of the capped path = count of distinct (cell, lo, hi)
     m = assigned.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
     assert m > 32  # the fixture really produced an oversized cell
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("m"))
+    n_groups = (
+        _salted_subblocks(assigned, counts, 32)
+        .select("cell", "lo", "hi")
+        .distinct()
+        .count()
+    )
+    assert n_groups > n_cells  # oversized cells fanned out into sub-blocks
