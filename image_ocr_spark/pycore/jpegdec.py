@@ -120,6 +120,22 @@ _COS = [
 ]
 _C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
 
+# optional numpy fast path (import-try per repo policy): the separable
+# IDCT S = B @ F @ B.T with B[x][u] = 0.5*C(u)*cos((2x+1)u*pi/16) is
+# ~100x the naive loop.  Constant-block exactness survives: a DC-only F
+# contributes exact 0.0 terms everywhere else, and the <=2-ulp product
+# reordering cannot move a value that rounds to an integer.
+try:
+    import numpy as _np
+
+    _B = _np.array(
+        [[0.5 * _C[u] * _COS[x][u] for u in range(8)] for x in range(8)],
+        dtype=_np.float64,
+    )
+except ImportError:  # pragma: no cover - numpy is baked into the sandbox
+    _np = None
+    _B = None
+
 
 def _canonical_codes(bits, huffval) -> Dict[int, Tuple[int, int]]:
     """symbol -> (code, length) by the canonical assignment (T.81 C.2)."""
@@ -127,6 +143,10 @@ def _canonical_codes(bits, huffval) -> Dict[int, Tuple[int, int]]:
     code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                # a corrupt DHT can declare more codes than fit at this
+                # bit length; the canonical code would overflow
+                raise ValueError("jpeg: invalid DHT code counts")
             out[huffval[k]] = (code, length)
             code += 1
             k += 1
@@ -134,12 +154,21 @@ def _canonical_codes(bits, huffval) -> Dict[int, Tuple[int, int]]:
     return out
 
 
-def _decode_table(bits, huffval) -> Dict[Tuple[int, int], int]:
-    """(length, code) -> symbol for the bit-at-a-time decoder."""
-    return {
+def _decode_table(bits, huffval):
+    """(lut8, by_code): lut8 resolves any code of length <= 8 from the
+    next 8 peeked bits in one step (lut8[b] = (symbol, length) or None);
+    by_code[(length, code)] covers the rare longer codes bit-by-bit."""
+    by_code = {
         (length, code): sym
         for sym, (code, length) in _canonical_codes(bits, huffval).items()
     }
+    lut8 = [None] * 256
+    for (length, code), sym in by_code.items():
+        if length <= 8:
+            base = code << (8 - length)
+            for suffix in range(1 << (8 - length)):
+                lut8[base | suffix] = (sym, length)
+    return lut8, by_code
 
 
 def _magnitude(v: int) -> Tuple[int, int]:
@@ -184,53 +213,77 @@ class _BitWriter:
 
 class _BitReader:
     """MSB-first reader over the entropy-coded segment, un-stuffing
-    0xFF00; any other 0xFF-marker inside the scan ends it."""
+    0xFF00; any other 0xFF-marker (or end of data) ends the real stream.
+
+    Peeks past the real stream are satisfied with VIRTUAL 1-bits (the
+    spec's pad value) so the 8-bit LUT can always look ahead; CONSUMING
+    a virtual bit means a code ran past the data — that raises the same
+    truncation ValueError the bit-at-a-time reader did, so the
+    decode-or-ValueError contract is unchanged.  acc is masked to the
+    live window after every fill (an unmasked accumulator grows by 8
+    bits per fill and turns the scan quadratic in stream length)."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
-        self.ended = False
+        self.virtual = 0  # trailing virtual pad bits in the window
 
-    def _fill(self) -> None:
-        if self.ended or self.pos >= len(self.data):
-            raise ValueError("jpeg: truncated entropy-coded segment")
+    def _fill_real(self) -> bool:
+        if self.virtual or self.pos >= len(self.data):
+            return False  # never append real bytes after virtual pads
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
             if self.pos >= len(self.data):
-                raise ValueError("jpeg: truncated after 0xFF in scan")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
+                self.pos -= 1
+                return False  # lone trailing 0xFF: treat as end
+            if self.data[self.pos] == 0x00:
                 self.pos += 1  # stuffed data byte 0xFF
             else:
-                # a real marker (EOI or otherwise): scan data is over;
-                # any further reads mean the stream was truncated
                 self.pos -= 1
-                self.ended = True
-                raise ValueError("jpeg: marker inside entropy data")
-        self.acc = (self.acc << 8) | b
+                return False  # a real marker: scan data is over
+        self.acc = ((self.acc << 8) | b) & ((1 << (self.nbits + 8)) - 1)
         self.nbits += 8
+        return True
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def _ensure(self, n: int) -> None:
+        while self.nbits < n:
+            if not self._fill_real():
+                self.acc = ((self.acc << 8) | 0xFF) & (
+                    (1 << (self.nbits + 8)) - 1
+                )
+                self.nbits += 8
+                self.virtual += 8
+
+    def _consume(self, n: int) -> None:
+        self.nbits -= n
+        if self.nbits < self.virtual:
+            raise ValueError("jpeg: truncated entropy-coded segment")
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        self._ensure(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self._consume(n)
         return v
 
-    def read_symbol(self, table: Dict[Tuple[int, int], int]) -> int:
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
+    def read_symbol(self, table) -> int:
+        lut8, by_code = table
+        self._ensure(8)
+        hit = lut8[(self.acc >> (self.nbits - 8)) & 0xFF]
+        if hit is not None:
+            sym, length = hit
+            self._consume(length)
+            return sym
         code, length = 0, 0
         while length < 16:
             code = (code << 1) | self.read_bit()
             length += 1
-            sym = table.get((length, code))
+            sym = by_code.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("jpeg: invalid Huffman code")
@@ -260,9 +313,14 @@ def _fdct_quant(block: List[int], qtab_raster: List[int]) -> List[int]:
 
 
 def _idct(coef_raster: List[int]) -> List[int]:
-    """Naive exact-form IDCT of one dequantized raster block -> clamped
-    0..255 pixel bytes (row-major).  Zero coefficients are skipped, so a
-    DC-only block costs O(64) and reproduces its constant exactly."""
+    """IDCT of one dequantized raster block -> clamped 0..255 pixel bytes
+    (row-major).  numpy separable form when available (~100x), naive
+    exact-form loop otherwise; both reproduce a DC-only block's constant
+    exactly (see _B comment)."""
+    if _np is not None:
+        fm = _np.asarray(coef_raster, dtype=_np.float64).reshape(8, 8)
+        s = _np.floor(_B @ fm @ _B.T + 128.5)
+        return _np.clip(s, 0, 255).astype(_np.int64).reshape(64).tolist()
     acc = [[0.0] * 8 for _ in range(8)]
     for r in range(8):
         for c in range(8):
@@ -578,8 +636,24 @@ def _decode_scan(data, pos, w, h, scan_tabs) -> Tuple[int, int, int, bytes]:
         for y in range(h):
             out[y * w : (y + 1) * w] = planes[0][y * rowlen : y * rowlen + w]
         return w, h, 1, bytes(out)
-    out = bytearray(w * h * 3)
     yp, cbp, crp = planes
+    if _np is not None:
+        def crop(p):
+            a = _np.frombuffer(bytes(p), dtype=_np.uint8).reshape(-1, rowlen)
+            return a[:h, :w].astype(_np.float64)
+
+        yy, cb, cr = crop(yp), crop(cbp) - 128.0, crop(crp) - 128.0
+        rgb = _np.stack(
+            [
+                yy + 1.402 * cr,
+                yy - 0.344136 * cb - 0.714136 * cr,
+                yy + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+        rgb = _np.clip(_np.floor(rgb + 0.5), 0, 255).astype(_np.uint8)
+        return w, h, 3, rgb.tobytes()
+    out = bytearray(w * h * 3)
     for y in range(h):
         base = y * rowlen
         for x in range(w):
