@@ -185,3 +185,30 @@ def test_line_dedup_shuffle_shape(spark, documents):
     assert "BroadcastNestedLoopJoin" not in plan
     # hash partitionings only (line hash + doc id); bounded and fixed
     assert plan.count("Exchange hashpartitioning") <= 5, plan
+
+
+def test_capped_grouped_verify_plan_shape(spark):
+    """Hot-cell-capped grouped verify: the per-cell counts join back onto
+    the assignment must BROADCAST (counts is ~C rows; a shuffle join
+    would move the N*dim vectors a second time), and the whole capped
+    path must add exactly the counts-agg and final-grouping exchanges —
+    no sort, no cartesian."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.similarity import _dup_pairs_grouped
+
+    assigned = spark.range(200).select(
+        F.col("id").alias("vid"),
+        (F.col("id") % 4).cast("int").alias("cell"),
+        F.array(*[F.rand(seed=1) for _ in range(4)]).alias("v"),
+    )
+    plan = _formatted(_dup_pairs_grouped(assigned, 990, max_cell=16))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    # exchanges: counts partial-agg shuffle, broadcast exchange(s) don't
+    # count as shuffles, final (cell, lo, hi) grouping shuffle
+    n_shuffles = sum(1 for op in ops if op == "Exchange")
+    assert n_shuffles <= 3, ops
