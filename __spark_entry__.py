@@ -359,14 +359,31 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-stat: whitespace token count + char length per document."""
+# r05: token_count retired (whitespace token counting stays value-checked
+# via text_quality's n_tokens and token_count_bpe) to keep the registry at
+# the driver's 50-row window while adding dedup_substrings below.
+
+_BOILER_SPAN = "TERMS APPLY ALL RIGHTS RESERVED SEE OUR POLICY PAGE"
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring dedup at 8-token-window granularity (Lee et al.,
+    ACL 2022 — the suffix-array substring scrub, Spark-first): a 9-token
+    boilerplate sentence is injected at the head of every doc_id%3==0
+    document and appended to every doc_id%7==3 document, so its interior
+    windows repeat corpus-wide and are scrubbed from ALL occurrences
+    while each document's unique text survives.  Value-hash covers the
+    rebuilt clean_text byte-for-byte."""
+    from image_ocr_spark.operators.dedup import dedup_substrings
+
     t = F.coalesce(F.col("text"), F.lit(""))
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(F.split(t, " ")).cast("long").alias("n_tokens"),
-        F.length(t).cast("long").alias("n_chars_actual"),
+    injected = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(_BOILER_SPAN + " "), t))
+        .when(F.col("doc_id") % 7 == 3, F.concat(t, F.lit(" " + _BOILER_SPAN)))
+        .otherwise(t)
     )
+    corpus = _docs(spark, sf_dir).select("doc_id", injected.alias("text"))
+    return dedup_substrings(corpus, window=8)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -984,7 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_normalize": q_date_normalize,
         "amount_normalize": q_amount_normalize,
         "text_clean": q_text_clean,
-        "token_count": q_token_count,
+        "dedup_substrings": q_dedup_substrings,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1945,11 +1962,47 @@ def oracle_sql() -> dict[str, str]:
                         ELSE ct || chr(10) || chr(10) || 'tail' END AS cleaned
             FROM c
         """,
-        "token_count": """
-            SELECT doc_id,
-              len(string_split(coalesce(text, ''), ' ')) AS n_tokens,
-              length(coalesce(text, '')) AS n_chars_actual
-            FROM documents
+        "dedup_substrings": f"""
+            WITH src AS (
+              SELECT doc_id AS id,
+                     string_split(
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '{_BOILER_SPAN} ' || coalesce(text, '')
+                            WHEN doc_id % 7 = 3
+                            THEN coalesce(text, '') || ' {_BOILER_SPAN}'
+                            ELSE coalesce(text, '') END, ' ') AS toks
+              FROM documents
+            ), wins AS (
+              SELECT id, i AS pos,
+                     ('0x' || substr(md5(array_to_string(
+                        list_slice(toks, i, i + 7), chr(1))), 1, 15))::BIGINT
+                       AS h
+              FROM (SELECT id, toks,
+                           unnest(range(1, greatest(1, len(toks) - 6)::BIGINT))
+                             AS i
+                    FROM src)
+            ), dup AS (
+              SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+            ), starts AS (
+              SELECT id, list_sort(list(pos)) AS ss
+              FROM wins JOIN dup USING (h) GROUP BY id
+            ), j AS (
+              SELECT s.id, s.toks,
+                     coalesce(st.ss, CAST([] AS BIGINT[])) AS ss
+              FROM src s LEFT JOIN starts st ON s.id = st.id
+            )
+            SELECT id AS doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   greatest(0, len(toks) - 7)::BIGINT AS n_windows,
+                   len(ss)::BIGINT AS n_dup_windows,
+                   -- array_to_string([]) is NULL in DuckDB but
+                   -- array_join([]) is '' in Spark: coalesce
+                   coalesce(array_to_string(list_transform(list_filter(
+                     list_transform(toks, (x, i) -> {{'x': x, 'i': i}}),
+                     st -> len(list_filter(ss,
+                              s -> s <= st.i AND st.i < s + 8)) = 0
+                   ), st -> st.x), ' '), '') AS clean_text
+            FROM j
         """,
         "dedup_exact": """
             SELECT md5(coalesce(text, '')) AS content_hash,

@@ -1036,3 +1036,94 @@ def dedup_lines(
             "id", F.coalesce("clean_text", F.lit("")).alias("clean_text")
         )
     )
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_windows, n_dup_windows, clean_text): EXACT
+    SUBSTRING deduplication at token-window granularity — every token
+    covered by a `window`-token span whose hash occurs >= min_count times
+    ANYWHERE in the corpus (across documents or repeated within one) is
+    removed from every document, the Spark-first graft of the
+    suffix-array substring dedup in Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL 2022; they use 50-token
+    spans — `window` scales with real corpus token counts).  Finer than
+    dedup_lines (catches mid-line boilerplate and templated sentences),
+    stricter than minhash (exact spans only).
+
+    Scale shape mirrors dedup_lines: window hashing is per-row in the
+    scan stage (positions kept); ONE shuffle on the 60-bit window hash
+    with map-side combine (a span on 10^9 pages contributes one row per
+    map partition); duplicate-window starts come back per doc via a
+    semi-join on the SAME key + a per-doc regroup (proportional to DUP
+    windows only, not all windows); the rebuild filters tokens against
+    the doc's dup-start list per row.  The per-row rebuild is
+    O(n_tokens * n_dup_starts); a doc that is wall-to-wall duplicates
+    degrades to O(n^2) per row — cap pathological docs upstream.
+
+    Windows use a \\x01 joiner (cannot appear in whitespace-split
+    tokens), so unequal spans can only collide at the 2^60 birthday
+    bound (~10^8 distinct spans, the dedup_lines argument)."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    w = window
+    idx = F.when(
+        F.size("toks") >= w, F.sequence(F.lit(1), F.size("toks") - (w - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    hash60(
+                        F.array_join(F.slice("toks", i, w), "\x01")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("win"),
+    ).select("id", F.col("win.pos").alias("pos"), F.col("win.h").alias("h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    starts = (
+        wins.join(dup, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ss"))
+    )
+    joined = base.join(starts, "id", "left").select(
+        "id",
+        "toks",
+        F.coalesce("ss", F.array().cast("array<int>")).alias("ss"),
+    )
+    covered = lambda i: F.exists(
+        F.col("ss"), lambda s: (s <= i + 1) & (i + 1 < s + w)
+    )
+    clean = F.array_join(
+        F.transform(
+            F.filter(
+                F.transform("toks", lambda x, i: F.struct(x.alias("x"), i.alias("i"))),
+                lambda st: ~covered(st["i"]),
+            ),
+            lambda st: st["x"],
+        ),
+        " ",
+    )
+    return joined.select(
+        F.col("id").alias("doc_id"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.greatest(F.lit(0), F.size("toks") - (w - 1))
+        .cast("long")
+        .alias("n_windows"),
+        F.size("ss").cast("long").alias("n_dup_windows"),
+        clean.alias("clean_text"),
+    )
