@@ -27,6 +27,7 @@ PAIR_QUERIES = [
     "doc_fingerprints",
     "fingerprint_pairs",
     "dedup_embedding",
+    "dedup_substrings",  # r05: exact token-window scrub at 10x
     # not pair ops, but the 10x byte-identity checks worth having:
     "flagship_extract",
     "label_spans",

@@ -37,6 +37,7 @@ PAIR_QUERIES = [
     "doc_fingerprints",
     "fingerprint_pairs",
     "dedup_embedding",
+    "dedup_substrings",  # r05: exact token-window scrub at 100x
     "flagship_extract",
     "corpus_select",
     "decontaminate",
