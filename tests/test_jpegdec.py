@@ -180,3 +180,28 @@ def test_fuzz_corruption_valueerror_contract():
             jpeg_decode(bytes(raw))
         except ValueError:
             pass
+
+
+def test_property_roundtrips():
+    """Property test over both codecs: any (w, h, ch, pixels) round-trips
+    PNG exactly and JPEG within the unit-quant tolerance."""
+    from hypothesis import given, settings, strategies as st
+
+    from image_ocr_spark.pycore.pngdec import png_decode, png_encode
+
+    dims = st.tuples(
+        st.integers(1, 20), st.integers(1, 20), st.sampled_from([1, 3])
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(dims, st.randoms(use_true_random=False))
+    def check(whc, rnd):
+        w, h, ch, = whc
+        px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+        assert png_decode(png_encode(w, h, ch, px)) == (w, h, ch, px)
+        dw, dh, dch, dpx = jpeg_decode(jpeg_encode(w, h, ch, px))
+        assert (dw, dh, dch, len(dpx)) == (w, h, ch, len(px))
+        tol = 2 if ch == 1 else 4
+        assert max(abs(a - b) for a, b in zip(px, dpx)) <= tol
+
+    check()
