@@ -548,6 +548,24 @@ def canary_main() -> None:
     }))
 
 
+def _canary_rate():
+    """docs/s from a fresh single-core canary subprocess (see canary_main);
+    None if it fails.  main() runs one before and one after the timed
+    windows so every BENCH_r{N}.json carries its own host-speed
+    adjudication (r04's flagship dip took a round to attribute to tenant
+    noise because the canary existed only out-of-band)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--canary"],
+            capture_output=True, text=True, timeout=120,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])[
+            "docs_per_sec_1core"
+        ]
+    except Exception:
+        return None
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--canary":
         canary_main()
@@ -586,6 +604,7 @@ def main() -> None:
         # clamp BOTH ranges on small hosts (a 2-cpu host must not taskset 0-3)
         lo_cores = f"0-{min(LO, ncpu) - 1}"
         hi_cores = f"0-{min(HI, ncpu) - 1}"
+    canary_before = _canary_rate()
     lo_w = PinnedWorker(LO, lo_cores, path)
     hi_w = PinnedWorker(HI, hi_cores, path)
     lo_w.wait_ready()
@@ -650,6 +669,8 @@ def main() -> None:
         "scaling_efficiency": round(eff_median, 3),
         "scaling_efficiency_bestof": round(best_eff, 3),
         "scaling_pair_samples": [round(e, 3) for e in pair_effs],
+        "canary_docs_per_sec_1core_before": canary_before,
+        "canary_docs_per_sec_1core_after": _canary_rate(),
     }
     print(json.dumps(result))
 
