@@ -370,7 +370,9 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT substring dedup at 8-token-window granularity (Lee et al.,
     ACL 2022 — the suffix-array substring scrub, Spark-first): a 9-token
     boilerplate sentence is injected at the head of every doc_id%3==0
-    document and appended to every doc_id%7==3 document, so its interior
+    document and appended to every doc_id%7==3 document (head wins when
+    both match — the WHEN chain and the oracle CASE share that
+    precedence), so its interior
     windows repeat corpus-wide and are scrubbed from ALL occurrences
     while each document's unique text survives.  Value-hash covers the
     rebuilt clean_text byte-for-byte."""

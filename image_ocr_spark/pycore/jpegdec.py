@@ -499,7 +499,8 @@ def jpeg_decode(data: bytes) -> Tuple[int, int, int, bytes]:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtabs: Dict[int, List[int]] = {}
-    htabs: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
+    # (class, id) -> (lut8, by_code) as returned by _decode_table
+    htabs: Dict[Tuple[int, int], tuple] = {}
     sof = None
     while True:
         if pos + 4 > len(data):
@@ -638,21 +639,33 @@ def _decode_scan(data, pos, w, h, scan_tabs) -> Tuple[int, int, int, bytes]:
         return w, h, 1, bytes(out)
     yp, cbp, crp = planes
     if _np is not None:
-        def crop(p):
-            a = _np.frombuffer(bytes(p), dtype=_np.uint8).reshape(-1, rowlen)
-            return a[:h, :w].astype(_np.float64)
-
-        yy, cb, cr = crop(yp), crop(cbp) - 128.0, crop(crp) - 128.0
-        rgb = _np.stack(
-            [
-                yy + 1.402 * cr,
-                yy - 0.344136 * cb - 0.714136 * cr,
-                yy + 1.772 * cb,
-            ],
-            axis=-1,
-        )
-        rgb = _np.clip(_np.floor(rgb + 0.5), 0, 255).astype(_np.uint8)
-        return w, h, 3, rgb.tobytes()
+        # row-chunked with in-place ops: a whole-image float64 pipeline
+        # peaks ~1.5 GB of temporaries at the MAX_PIXEL_BYTES cap
+        # (review r5) — chunks bound the transient to a few MB
+        out = _np.empty((h, w, 3), dtype=_np.uint8)
+        ya = _np.frombuffer(bytes(yp), dtype=_np.uint8).reshape(-1, rowlen)
+        cba = _np.frombuffer(bytes(cbp), dtype=_np.uint8).reshape(-1, rowlen)
+        cra = _np.frombuffer(bytes(crp), dtype=_np.uint8).reshape(-1, rowlen)
+        step = max(1, (4 << 20) // max(1, w * 24))
+        for y0 in range(0, h, step):
+            y1 = min(h, y0 + step)
+            yy = ya[y0:y1, :w].astype(_np.float64)
+            cb = cba[y0:y1, :w].astype(_np.float64)
+            cb -= 128.0
+            cr = cra[y0:y1, :w].astype(_np.float64)
+            cr -= 128.0
+            for ch_i, plane in enumerate(
+                (
+                    yy + 1.402 * cr,
+                    yy - 0.344136 * cb - 0.714136 * cr,
+                    yy + 1.772 * cb,
+                )
+            ):
+                plane += 0.5
+                _np.floor(plane, out=plane)
+                _np.clip(plane, 0, 255, out=plane)
+                out[y0:y1, :, ch_i] = plane.astype(_np.uint8)
+        return w, h, 3, out.tobytes()
     out = bytearray(w * h * 3)
     for y in range(h):
         base = y * rowlen
