@@ -303,21 +303,31 @@ def assign_cells_arrow(
     vecs: DataFrame, cents: list, nprobe: int = 1
 ) -> DataFrame:
     """(vid, v, cell) via mapInArrow — vectorized twin of _assign_cells
-    (nprobe=1) / _assign_cells_multi (nprobe>1); still zero-shuffle."""
+    (nprobe=1) / _assign_cells_multi (nprobe>1); still zero-shuffle.
+
+    The centroid list travels as a Spark BROADCAST, not in the task
+    closure (r05): a closure payload is re-serialized into every task of
+    every stage that uses the relation — at the production C = sqrt(N)
+    geometry (31,623 x 768-dim for a 10^9-row corpus) that is hundreds
+    of MB per stage, where a broadcast ships once per executor and is
+    cached."""
     import pyarrow as pa
     import numpy as np
 
-    cids = np.array([int(cid) for cid, _ in cents], dtype=np.int64)
+    bc = vecs.sparkSession.sparkContext.broadcast(cents)
+    ncents = len(cents)
 
     def fn(batches):
+        cents_v = bc.value
+        cids = np.array([int(cid) for cid, _ in cents_v], dtype=np.int64)
         for batch in batches:
             n = batch.num_rows
             if n == 0:
                 continue
             vid = batch.column(0).to_numpy(zero_copy_only=False)
             _, V = _flat_f64(batch.column(1), n)
-            sims = _cos_matrix(V, cents)
-            k = min(nprobe, len(cents))
+            sims = _cos_matrix(V, cents_v)
+            k = min(nprobe, ncents)
             # degenerate rows (zero-norm vector, or every centroid
             # zero-norm): mirror the expression twins — cell -1 when
             # nprobe == 1 (_assign_expr's fold init), NO rows when
@@ -578,14 +588,17 @@ def maxcos_arrow(vecs: DataFrame, seeds: list) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
+    bc = vecs.sparkSession.sparkContext.broadcast(seeds)
+
     def fn(batches):
+        seeds_v = bc.value
         for batch in batches:
             n = batch.num_rows
             if n == 0:
                 continue
             vid = batch.column(0).to_numpy(zero_copy_only=False)
             _, V = _flat_f64(batch.column(1), n)
-            sims = _cos_matrix(V, seeds)
+            sims = _cos_matrix(V, seeds_v)
             mc = np.max(sims, axis=1)
             keep = ~np.isneginf(mc)  # seeds are never zero-norm, so -inf
             rows = np.flatnonzero(keep)  # means THIS row is degenerate
