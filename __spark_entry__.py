@@ -261,18 +261,27 @@ def q_media_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes per-channel means + histogram entropy in integer units; the
     DuckDB oracle computes the same stats straight from the generative
     formulas — equality proves both codecs, not just the arithmetic.
-    JPEG media ids are offset by 10^12 — disjoint from any realistic
-    doc_id space (review r5: a 1e6 offset collides at the sf1.0 tier's
-    6M docs)."""
+    Round-5 late: real BMP (padded/BGR/bottom-up+top-down,
+    pycore/bmpdec.py) and real baseline TIFF (both endians, multi-strip,
+    none+PackBits, pycore/tiffdec.py) fixtures join the union — all four
+    decodable formats of the reference's raster allowlist (main.py:169;
+    WebP is the documented boundary).  Per-format media ids are offset
+    by k*10^12 — disjoint from any realistic doc_id space (review r5: a
+    1e6 offset collides at the sf1.0 tier's 6M docs)."""
     from image_ocr_spark.operators.multimodal import (
         extract_pixel_features,
+        synth_bmp_media,
         synth_jpeg_media,
         synth_png_media,
+        synth_tiff_media,
     )
 
     docs = _docs(spark, sf_dir)
-    media = synth_png_media(docs).unionByName(
-        synth_jpeg_media(docs, id_offset=10**12)
+    media = (
+        synth_png_media(docs)
+        .unionByName(synth_jpeg_media(docs, id_offset=10**12))
+        .unionByName(synth_bmp_media(docs, id_offset=2 * 10**12))
+        .unionByName(synth_tiff_media(docs, id_offset=3 * 10**12))
     )
     feats = extract_pixel_features(media)
     return feats.select(
@@ -2160,8 +2169,37 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT media_id, width, height, ch,
                            unnest(range(0, (width * height * ch)::BIGINT)) AS i
                     FROM jp)
+            ), bp AS (
+              -- BMP fixture dims (lossless: same per-byte formula as PNG)
+              SELECT doc_id + 2000000000000 AS media_id,
+                     (5 + (doc_id + 2000000000000) % 6)::INT AS width,
+                     (4 + (doc_id + 2000000000000) % 5)::INT AS height,
+                     (CASE (doc_id + 2000000000000) % 3
+                        WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::INT AS ch
+              FROM documents
+            ), bv AS (
+              SELECT media_id, width, height, ch, i % ch AS chan,
+                     (media_id * 31 + i * 7) % 256 AS val
+              FROM (SELECT media_id, width, height, ch,
+                           unnest(range(0, (width * height * ch)::BIGINT)) AS i
+                    FROM bp)
+            ), tp AS (
+              -- TIFF fixture dims (lossless: same per-byte formula)
+              SELECT doc_id + 3000000000000 AS media_id,
+                     (6 + (doc_id + 3000000000000) % 7)::INT AS width,
+                     (3 + (doc_id + 3000000000000) % 6)::INT AS height,
+                     (CASE (doc_id + 3000000000000) % 3
+                        WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::INT AS ch
+              FROM documents
+            ), tv AS (
+              SELECT media_id, width, height, ch, i % ch AS chan,
+                     (media_id * 31 + i * 7) % 256 AS val
+              FROM (SELECT media_id, width, height, ch,
+                           unnest(range(0, (width * height * ch)::BIGINT)) AS i
+                    FROM tp)
             ), allpv AS (
               SELECT * FROM pv UNION ALL SELECT * FROM jv
+              UNION ALL SELECT * FROM bv UNION ALL SELECT * FROM tv
             ), chsum AS (
               SELECT media_id, any_value(width) AS width,
                      any_value(height) AS height, any_value(ch) AS ch,

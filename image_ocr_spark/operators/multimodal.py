@@ -47,10 +47,11 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(raw: bytes):
-    """General-format decode via PIL when available.  PNG and baseline
-    JPEG decode without it (media_pixel_stats); the remaining raster
-    formats the reference accepts (WebP/GIF/TIFF/BMP, main.py:169-176)
-    need an image library the container doesn't ship."""
+    """General-format decode via PIL when available.  PNG, baseline
+    JPEG, BMP and baseline TIFF decode without it (media_pixel_stats);
+    the one remaining raster format the reference accepts (WebP,
+    main.py:169-176) needs an image library the container doesn't ship
+    — a from-scratch VP8/VP8L decoder is out of scope."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - no PIL in sandbox
@@ -143,8 +144,9 @@ PIXEL_FEATURE_SCHEMA = (
 
 def media_pixel_stats(raw: bytes):
     """(w, h, ch, mean_micro, entropy_milli) from REAL decoded pixels,
-    sniffing the container by magic bytes: PNG (pycore/pngdec.py) or
-    baseline JPEG (pycore/jpegdec.py — r05).
+    sniffing the container by magic bytes: PNG (pycore/pngdec.py),
+    baseline JPEG (pycore/jpegdec.py — r05), BMP (pycore/bmpdec.py —
+    r05) or baseline TIFF (pycore/tiffdec.py — r05).
 
     - mean_micro[c] = floor(1e6 * sum(channel c) / (w*h)) — integer, so
       bit-identical across engines;
@@ -155,15 +157,25 @@ def media_pixel_stats(raw: bytes):
     Raises ValueError for other / unsupported input (caller skips)."""
     import math
 
+    from image_ocr_spark.pycore.bmpdec import BMP_MAGIC, bmp_decode
     from image_ocr_spark.pycore.jpegdec import JPEG_MAGIC, jpeg_decode
     from image_ocr_spark.pycore.pngdec import PNG_MAGIC, png_decode
+    from image_ocr_spark.pycore.tiffdec import (
+        TIFF_MAGIC_BE,
+        TIFF_MAGIC_LE,
+        tiff_decode,
+    )
 
     if raw[:8] == PNG_MAGIC:
         w, h, ch, px = png_decode(raw)
     elif raw[:2] == JPEG_MAGIC:
         w, h, ch, px = jpeg_decode(raw)
+    elif raw[:2] == BMP_MAGIC:
+        w, h, ch, px = bmp_decode(raw)
+    elif raw[:4] in (TIFF_MAGIC_LE, TIFF_MAGIC_BE):
+        w, h, ch, px = tiff_decode(raw)
     else:
-        raise ValueError("unsupported media container (not PNG/JPEG)")
+        raise ValueError("unsupported media container (not PNG/JPEG/BMP/TIFF)")
     n = w * h
     sums = [0] * ch
     counts = [0] * 256
@@ -229,10 +241,11 @@ def _pixel_featurize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
 def extract_pixel_features(media: DataFrame) -> DataFrame:
     """(media_id, width, height, channels, mean_micro, entropy_milli) from
     DECODED pixels via one Arrow boundary — the real-decode upgrade of
-    extract_media_features (which reads raw bytes).  PNG and baseline
-    JPEG rows decode for real; other containers are skipped (never-raise
-    pipeline policy) — WebP/GIF/TIFF/BMP remain env-gated behind
-    decode_image."""
+    extract_media_features (which reads raw bytes).  PNG, baseline JPEG,
+    BMP and baseline TIFF rows decode for real via the from-scratch
+    codecs; other containers are skipped (never-raise pipeline policy) —
+    WebP (the one remaining reference-accepted format, main.py:169)
+    stays env-gated behind decode_image."""
     return media.select("media_id", "content").mapInArrow(
         _pixel_featurize, PIXEL_FEATURE_SCHEMA
     )
@@ -360,6 +373,138 @@ def synth_jpeg_media(docs: DataFrame, id_offset: int = 0) -> DataFrame:
         (F.col("doc_id") + F.lit(id_offset)).alias("media_id")
     ).mapInArrow(
         _synth_jpeg,
+        "media_id long, media_type string, content binary, "
+        "meta_width int, meta_height int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# real BMP / TIFF fixtures (from-scratch lossless codecs — r05 late,
+# closing the reference's raster allowlist except WebP, main.py:169-176)
+# ---------------------------------------------------------------------------
+
+
+def _synth_bmp_pixels(media_id: int):
+    """Deterministic pixel formula shared with the DuckDB oracle — the
+    same per-byte closed form as the PNG fixture (BMP is lossless, so
+    the replay is exact) with its own width/height cycle; widths 5..10
+    force non-trivial 4-byte row padding."""
+    w = 5 + media_id % 6
+    h = 4 + media_id % 5
+    ch = (1, 3, 4)[media_id % 3]
+    px = bytes((media_id * 31 + i * 7) % 256 for i in range(w * h * ch))
+    return w, h, ch, px
+
+
+def _synth_bmp(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from image_ocr_spark.pycore.bmpdec import bmp_encode
+
+    schema = pa.schema(
+        [
+            pa.field("media_id", pa.int64()),
+            pa.field("media_type", pa.string()),
+            pa.field("content", pa.binary()),
+            pa.field("meta_width", pa.int32()),
+            pa.field("meta_height", pa.int32()),
+        ]
+    )
+    for batch in batches:
+        ids = batch.column(0).to_pylist()
+        blobs, ws, hs = [], [], []
+        for mid in ids:
+            w, h, ch, px = _synth_bmp_pixels(mid)
+            blobs.append(bmp_encode(w, h, ch, px, top_down=bool(mid % 2)))
+            ws.append(w)
+            hs.append(h)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(["image"] * len(ids), pa.string()),
+                pa.array(blobs, pa.binary()),
+                pa.array(ws, pa.int32()),
+                pa.array(hs, pa.int32()),
+            ],
+            schema=schema,
+        )
+
+
+def synth_bmp_media(docs: DataFrame, id_offset: int = 0) -> DataFrame:
+    """MEDIA_SCHEMA rows whose content is a REAL BMP (BITMAPINFOHEADER,
+    palette/BGR/BGRA, 4-byte row padding; bottom-up and top-down
+    alternate by media_id parity) — the lossless fixture for the
+    decoded-pixel feature path.  Gray/RGB/RGBA cycle by media_id % 3."""
+    return docs.select(
+        (F.col("doc_id") + F.lit(id_offset)).alias("media_id")
+    ).mapInArrow(
+        _synth_bmp,
+        "media_id long, media_type string, content binary, "
+        "meta_width int, meta_height int",
+    )
+
+
+def _synth_tiff_pixels(media_id: int):
+    """Deterministic pixel formula shared with the DuckDB oracle — the
+    same per-byte closed form as the PNG/BMP fixtures (baseline TIFF is
+    lossless) with its own width/height cycle."""
+    w = 6 + media_id % 7
+    h = 3 + media_id % 6
+    ch = (1, 3, 4)[media_id % 3]
+    px = bytes((media_id * 31 + i * 7) % 256 for i in range(w * h * ch))
+    return w, h, ch, px
+
+
+def _synth_tiff(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from image_ocr_spark.pycore.tiffdec import tiff_encode
+
+    schema = pa.schema(
+        [
+            pa.field("media_id", pa.int64()),
+            pa.field("media_type", pa.string()),
+            pa.field("content", pa.binary()),
+            pa.field("meta_width", pa.int32()),
+            pa.field("meta_height", pa.int32()),
+        ]
+    )
+    for batch in batches:
+        ids = batch.column(0).to_pylist()
+        blobs, ws, hs = [], [], []
+        for mid in ids:
+            w, h, ch, px = _synth_tiff_pixels(mid)
+            blobs.append(
+                tiff_encode(
+                    w,
+                    h,
+                    ch,
+                    px,
+                    big_endian=bool(mid % 2),
+                    packbits=bool((mid // 2) % 2),
+                    rows_per_strip=2,
+                )
+            )
+            ws.append(w)
+            hs.append(h)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(["image"] * len(ids), pa.string()),
+                pa.array(blobs, pa.binary()),
+                pa.array(ws, pa.int32()),
+                pa.array(hs, pa.int32()),
+            ],
+            schema=schema,
+        )
+
+
+def synth_tiff_media(docs: DataFrame, id_offset: int = 0) -> DataFrame:
+    """MEDIA_SCHEMA rows whose content is a REAL baseline TIFF (single
+    IFD, multi-strip; little/big endian alternate by media_id parity,
+    none/PackBits compression by (media_id//2) parity) — the lossless
+    fixture for the decoded-pixel feature path.  Gray/RGB/RGBA cycle by
+    media_id % 3."""
+    return docs.select(
+        (F.col("doc_id") + F.lit(id_offset)).alias("media_id")
+    ).mapInArrow(
+        _synth_tiff,
         "media_id long, media_type string, content binary, "
         "meta_width int, meta_height int",
     )
