@@ -262,18 +262,21 @@ def q_media_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle computes the same stats straight from the generative
     formulas — equality proves both codecs, not just the arithmetic.
     Round-5 late: real BMP (padded/BGR/bottom-up+top-down,
-    pycore/bmpdec.py) and real baseline TIFF (both endians, multi-strip,
-    none+PackBits, pycore/tiffdec.py) fixtures join the union — all four
-    decodable formats of the reference's raster allowlist (main.py:169;
-    WebP is the documented boundary).  Per-format media ids are offset
-    by k*10^12 — disjoint from any realistic doc_id space (review r5: a
-    1e6 offset collides at the sf1.0 tier's 6M docs)."""
+    pycore/bmpdec.py), real baseline TIFF (both endians, multi-strip,
+    none+PackBits, pycore/tiffdec.py) and real lossless WebP (RIFF/VP8L,
+    canonical prefix codes, pycore/webpdec.py) fixtures join the union —
+    every format of the reference's raster allowlist (main.py:169)
+    decodes from scratch; lossy VP8 is the one documented boundary.
+    Per-format media ids are offset by k*10^12 — disjoint from any
+    realistic doc_id space (review r5: a 1e6 offset collides at the
+    sf1.0 tier's 6M docs)."""
     from image_ocr_spark.operators.multimodal import (
         extract_pixel_features,
         synth_bmp_media,
         synth_jpeg_media,
         synth_png_media,
         synth_tiff_media,
+        synth_webp_media,
     )
 
     docs = _docs(spark, sf_dir)
@@ -282,6 +285,7 @@ def q_media_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(synth_jpeg_media(docs, id_offset=10**12))
         .unionByName(synth_bmp_media(docs, id_offset=2 * 10**12))
         .unionByName(synth_tiff_media(docs, id_offset=3 * 10**12))
+        .unionByName(synth_webp_media(docs, id_offset=4 * 10**12))
     )
     feats = extract_pixel_features(media)
     return feats.select(
@@ -2197,9 +2201,23 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT media_id, width, height, ch,
                            unnest(range(0, (width * height * ch)::BIGINT)) AS i
                     FROM tp)
+            ), wp AS (
+              -- WebP/VP8L fixture dims (lossless: same per-byte formula)
+              SELECT doc_id + 4000000000000 AS media_id,
+                     (4 + (doc_id + 4000000000000) % 8)::INT AS width,
+                     (2 + (doc_id + 4000000000000) % 5)::INT AS height,
+                     (3 + (doc_id + 4000000000000) % 2)::INT AS ch
+              FROM documents
+            ), wv AS (
+              SELECT media_id, width, height, ch, i % ch AS chan,
+                     (media_id * 31 + i * 7) % 256 AS val
+              FROM (SELECT media_id, width, height, ch,
+                           unnest(range(0, (width * height * ch)::BIGINT)) AS i
+                    FROM wp)
             ), allpv AS (
               SELECT * FROM pv UNION ALL SELECT * FROM jv
               UNION ALL SELECT * FROM bv UNION ALL SELECT * FROM tv
+              UNION ALL SELECT * FROM wv
             ), chsum AS (
               SELECT media_id, any_value(width) AS width,
                      any_value(height) AS height, any_value(ch) AS ch,

@@ -146,7 +146,8 @@ def media_pixel_stats(raw: bytes):
     """(w, h, ch, mean_micro, entropy_milli) from REAL decoded pixels,
     sniffing the container by magic bytes: PNG (pycore/pngdec.py),
     baseline JPEG (pycore/jpegdec.py — r05), BMP (pycore/bmpdec.py —
-    r05) or baseline TIFF (pycore/tiffdec.py — r05).
+    r05), baseline TIFF (pycore/tiffdec.py — r05) or lossless WebP
+    (VP8L, pycore/webpdec.py — r05; lossy VP8 raises).
 
     - mean_micro[c] = floor(1e6 * sum(channel c) / (w*h)) — integer, so
       bit-identical across engines;
@@ -165,6 +166,7 @@ def media_pixel_stats(raw: bytes):
         TIFF_MAGIC_LE,
         tiff_decode,
     )
+    from image_ocr_spark.pycore.webpdec import RIFF_MAGIC, WEBP_MAGIC, webp_decode
 
     if raw[:8] == PNG_MAGIC:
         w, h, ch, px = png_decode(raw)
@@ -174,8 +176,12 @@ def media_pixel_stats(raw: bytes):
         w, h, ch, px = bmp_decode(raw)
     elif raw[:4] in (TIFF_MAGIC_LE, TIFF_MAGIC_BE):
         w, h, ch, px = tiff_decode(raw)
+    elif raw[:4] == RIFF_MAGIC and raw[8:12] == WEBP_MAGIC:
+        w, h, ch, px = webp_decode(raw)  # VP8L; lossy VP8 raises inside
     else:
-        raise ValueError("unsupported media container (not PNG/JPEG/BMP/TIFF)")
+        raise ValueError(
+            "unsupported media container (not PNG/JPEG/BMP/TIFF/WebP)"
+        )
     n = w * h
     sums = [0] * ch
     counts = [0] * 256
@@ -505,6 +511,65 @@ def synth_tiff_media(docs: DataFrame, id_offset: int = 0) -> DataFrame:
         (F.col("doc_id") + F.lit(id_offset)).alias("media_id")
     ).mapInArrow(
         _synth_tiff,
+        "media_id long, media_type string, content binary, "
+        "meta_width int, meta_height int",
+    )
+
+
+def _synth_webp_pixels(media_id: int):
+    """Deterministic pixel formula shared with the DuckDB oracle — the
+    same per-byte closed form as the PNG/BMP/TIFF fixtures (literal VP8L
+    coding is lossless) with its own width/height cycle; RGB/RGBA
+    alternate by parity (VP8L has no grayscale mode)."""
+    w = 4 + media_id % 8
+    h = 2 + media_id % 5
+    ch = 3 + media_id % 2
+    px = bytes((media_id * 31 + i * 7) % 256 for i in range(w * h * ch))
+    return w, h, ch, px
+
+
+def _synth_webp(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from image_ocr_spark.pycore.webpdec import webp_encode
+
+    schema = pa.schema(
+        [
+            pa.field("media_id", pa.int64()),
+            pa.field("media_type", pa.string()),
+            pa.field("content", pa.binary()),
+            pa.field("meta_width", pa.int32()),
+            pa.field("meta_height", pa.int32()),
+        ]
+    )
+    for batch in batches:
+        ids = batch.column(0).to_pylist()
+        blobs, ws, hs = [], [], []
+        for mid in ids:
+            w, h, ch, px = _synth_webp_pixels(mid)
+            blobs.append(webp_encode(w, h, ch, px))
+            ws.append(w)
+            hs.append(h)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(["image"] * len(ids), pa.string()),
+                pa.array(blobs, pa.binary()),
+                pa.array(ws, pa.int32()),
+                pa.array(hs, pa.int32()),
+            ],
+            schema=schema,
+        )
+
+
+def synth_webp_media(docs: DataFrame, id_offset: int = 0) -> DataFrame:
+    """MEDIA_SCHEMA rows whose content is a REAL lossless WebP (RIFF +
+    VP8L chunk, canonical prefix codes — simple AND normal forms appear
+    across the id cycle since low-cardinality channels compress to the
+    2-symbol simple form) — the lossless fixture for the decoded-pixel
+    feature path.  RGB/RGBA alternate by media_id parity."""
+    return docs.select(
+        (F.col("doc_id") + F.lit(id_offset)).alias("media_id")
+    ).mapInArrow(
+        _synth_webp,
         "media_id long, media_type string, content binary, "
         "meta_width int, meta_height int",
     )

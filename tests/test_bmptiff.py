@@ -184,9 +184,10 @@ def test_tiff_fuzz_corruption_valueerror_contract():
 # ---------------------------------------------------------------------------
 
 
-def test_media_pixel_stats_sniffs_all_four_containers():
+def test_media_pixel_stats_sniffs_all_containers():
     from image_ocr_spark.operators.multimodal import _synth_pixels
     from image_ocr_spark.pycore.pngdec import png_encode
+    from image_ocr_spark.pycore.webpdec import webp_encode
 
     w, h, ch, px = _synth_pixels(4)
     for blob in (
@@ -200,8 +201,14 @@ def test_media_pixel_stats_sniffs_all_four_containers():
     ref = media_pixel_stats(png_encode(w, h, ch, px))
     assert media_pixel_stats(bmp_encode(w, h, ch, px)) == ref
     assert media_pixel_stats(tiff_encode(w, h, ch, px, packbits=True)) == ref
+    # VP8L has no gray mode: compare RGB stats through the WebP container
+    w, h, ch, px = _synth_pixels(7)
+    assert ch == 3
+    assert media_pixel_stats(webp_encode(w, h, ch, px)) == media_pixel_stats(
+        png_encode(w, h, ch, px)
+    )
     with pytest.raises(ValueError, match="container"):
-        media_pixel_stats(b"RIFF....WEBPVP8 ")  # the documented boundary
+        media_pixel_stats(b"GIF89a not in the allowlist")
 
 
 def test_operator_decodes_bmp_and_tiff_rows(spark):

@@ -1,0 +1,214 @@
+"""From-scratch lossless-WebP/VP8L codec (pycore/webpdec.py — r05 late,
+closing the reference's raster allowlist, main.py:169): roundtrip
+identity through real entropy-coded bits (simple AND normal prefix
+codes), hand-crafted streams exercising the decoder-only paths the
+literal encoder never emits (LZ77 neighbor-map and plain distances,
+color-cache hits), loud ValueError on the documented boundaries (lossy
+VP8, VP8X, the four VP8L transforms, meta prefix images), seeded
+corruption fuzz, and the Spark pixel-feature operator decoding WebP
+rows alongside the other four containers."""
+
+import random
+import struct
+
+import pytest
+
+from image_ocr_spark.operators.multimodal import (
+    _synth_webp_pixels,
+    media_pixel_stats,
+)
+from image_ocr_spark.pycore.webpdec import (
+    _DIST_MAP,
+    _BitWriter,
+    _canonical_codes,
+    _write_prefix_code,
+    RIFF_MAGIC,
+    VP8L_SIGNATURE,
+    VP8L_TAG,
+    WEBP_MAGIC,
+    webp_decode,
+    webp_encode,
+)
+
+
+def _container(payload: bytes) -> bytes:
+    padded = payload + (b"\x00" if len(payload) % 2 else b"")
+    chunk = VP8L_TAG + struct.pack("<I", len(payload)) + padded
+    return RIFF_MAGIC + struct.pack("<I", 4 + len(chunk)) + WEBP_MAGIC + chunk
+
+
+@pytest.mark.parametrize("mid", [0, 1, 2, 3, 5, 9, 17, 38])
+def test_roundtrip_identity(mid):
+    """The fixture cycle: RGB/RGBA alternate, dims vary, per-byte pixels
+    force normal (code-length-coded) prefix codes."""
+    w, h, ch, px = _synth_webp_pixels(mid)
+    assert webp_decode(webp_encode(w, h, ch, px)) == (w, h, ch, px)
+
+
+def test_roundtrip_simple_codes():
+    """<=2 distinct values per channel hit the 1/2-symbol simple form."""
+    rnd = random.Random(11)
+    for ch in (3, 4):
+        px = bytes(rnd.choice([7, 200]) for _ in range(6 * 4 * ch))
+        assert webp_decode(webp_encode(6, 4, ch, px)) == (6, 4, ch, px)
+        const = bytes([123]) * (6 * 4 * ch)
+        assert webp_decode(webp_encode(6, 4, ch, const)) == (6, 4, ch, const)
+
+
+def test_distance_map_spec_invariants():
+    """120 unique neighbor offsets, sorted by squared distance, within
+    the spec's 8x7 window."""
+    assert len(_DIST_MAP) == 120 == len(set(_DIST_MAP))
+    d2 = [x * x + y * y for x, y in _DIST_MAP]
+    assert all(a <= b for a, b in zip(d2, d2[1:]))
+    assert all(0 <= y <= 7 and -8 <= x <= 8 and (x, y) != (0, 0) for x, y in _DIST_MAP)
+
+
+def _literal_header(bw, w, h):
+    bw.write(VP8L_SIGNATURE, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # no alpha hint
+    bw.write(0, 3)  # version
+
+
+def test_decode_lz77_neighbor_distance():
+    """Decoder-only path: a backref with dist prefix value 2 -> neighbor
+    map entry (1, 0) -> distance 1 repeats the previous pixel."""
+    bw = _BitWriter()
+    _literal_header(bw, 4, 2)
+    bw.write(0, 1)  # no transform
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    glen = [0] * 280
+    glen[10] = 1
+    glen[261], glen[262] = 2, 2  # length-code 5 (-> length 7) + filler
+    _write_prefix_code(bw, glen)
+    for v in (42, 77, 255):
+        lens = [0] * 256
+        lens[v] = 1
+        _write_prefix_code(bw, lens)
+    dlen = [0] * 40
+    dlen[1] = 1  # single-symbol: prefix value 1 -> lz77 value 2
+    _write_prefix_code(bw, dlen)
+    gc = _canonical_codes(glen)
+    bw.write_code(*gc[10])  # one literal pixel (r/b/a are 0-bit singles)
+    bw.write_code(*gc[261])  # backref: length code 5
+    bw.write(0, 1)  # extra bit -> length 7
+    w, h, ch, px = webp_decode(_container(bw.flush()))
+    assert (w, h, ch) == (4, 2, 3)
+    assert px == bytes((42, 10, 77)) * 8
+
+
+def test_decode_color_cache_hit():
+    px_val = (255 << 24) | (42 << 16) | (10 << 8) | 77
+    idx = ((0x1E35A7BD * px_val) & 0xFFFFFFFF) >> 30
+    bw = _BitWriter()
+    _literal_header(bw, 2, 1)
+    bw.write(0, 1)  # no transform
+    bw.write(1, 1)  # color cache present
+    bw.write(2, 4)  # 2 bits -> 4 entries
+    bw.write(0, 1)  # no meta
+    glen = [0] * 284
+    glen[10] = 1
+    glen[280 + idx], glen[280 + (idx + 1) % 4] = 2, 2
+    _write_prefix_code(bw, glen)
+    for v in (42, 77, 255):
+        lens = [0] * 256
+        lens[v] = 1
+        _write_prefix_code(bw, lens)
+    dlen = [0] * 40
+    dlen[0] = 1
+    _write_prefix_code(bw, dlen)
+    gc = _canonical_codes(glen)
+    bw.write_code(*gc[10])  # literal -> inserted into the cache
+    bw.write_code(*gc[280 + idx])  # cache hit
+    assert webp_decode(_container(bw.flush())) == (2, 1, 3, bytes((42, 10, 77)) * 2)
+
+
+def test_lossy_vp8_raises():
+    with pytest.raises(ValueError, match="lossy"):
+        webp_decode(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
+
+
+def test_vp8x_raises():
+    with pytest.raises(ValueError, match="extended"):
+        webp_decode(b"RIFF\x10\x00\x00\x00WEBPVP8X\x04\x00\x00\x00abcd")
+
+
+def test_transform_raises():
+    bw = _BitWriter()
+    _literal_header(bw, 1, 1)
+    bw.write(1, 1)  # transform present
+    bw.write(2, 2)
+    with pytest.raises(ValueError, match="transform"):
+        webp_decode(_container(bw.flush()))
+
+
+def test_meta_prefix_raises():
+    bw = _BitWriter()
+    _literal_header(bw, 1, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(1, 1)  # meta prefix image present
+    with pytest.raises(ValueError, match="meta"):
+        webp_decode(_container(bw.flush()))
+
+
+def test_bad_magic_raises():
+    with pytest.raises(ValueError, match="magic"):
+        webp_decode(b"RIFX____WEBP")
+    with pytest.raises(ValueError, match="magic"):
+        webp_decode(b"RIFF____WAVE" + b"\x00" * 8)
+
+
+def test_truncated_stream_raises():
+    raw = webp_encode(*_synth_webp_pixels(3)[:3], _synth_webp_pixels(3)[3])
+    with pytest.raises(ValueError):
+        webp_decode(raw[: len(raw) - 6])
+
+
+def test_fuzz_corruption_valueerror_contract():
+    rnd = random.Random(47)
+    base = webp_encode(*_synth_webp_pixels(6)[:3], _synth_webp_pixels(6)[3])
+    for _ in range(2000):
+        raw = bytearray(base)
+        for _ in range(rnd.randrange(1, 4)):
+            raw[rnd.randrange(len(raw))] = rnd.randrange(256)
+        try:
+            w, h, ch, px = webp_decode(bytes(raw))
+            assert len(px) == w * h * ch
+        except ValueError:
+            pass  # the contract: decode or ValueError, nothing else
+
+
+def test_stats_parity_with_png():
+    from image_ocr_spark.pycore.pngdec import png_encode
+
+    w, h, ch, px = _synth_webp_pixels(9)
+    assert media_pixel_stats(webp_encode(w, h, ch, px)) == media_pixel_stats(
+        png_encode(w, h, ch, px)
+    )
+
+
+def test_operator_decodes_webp_rows(spark):
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.multimodal import (
+        extract_pixel_features,
+        synth_webp_media,
+    )
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    rows = extract_pixel_features(synth_webp_media(docs)).collect()
+    assert len(rows) == 10
+    by_id = {r.media_id: r for r in rows}
+    for mid in range(10):
+        w, h, ch, px = _synth_webp_pixels(mid)
+        r = by_id[mid]
+        assert (r.width, r.height, r.channels) == (w, h, ch)
+        n = w * h
+        sums = [0] * ch
+        for i, v in enumerate(px):
+            sums[i % ch] += v
+        assert r.mean_micro == [(1_000_000 * s) // n for s in sums]
