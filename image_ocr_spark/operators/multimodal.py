@@ -7,12 +7,15 @@ Two feature paths:
   histogram entropy over actual decoded pixels (VERDICT r03 item 3, the
   graft of the reference's pixel-level preprocessing,
   preprocessor.py:81-131);
-- extract_media_features: byte-level histogram features for formats with
-  no in-sandbox decoder.  PNG and baseline JPEG now decode for real
-  (pycore/pngdec.py, pycore/jpegdec.py — r05, VERDICT r04 item 7);
-  decode_image remains the PIL-gated general-format fallback (the
-  sandbox ships no PIL/cv2/ffmpeg) behind an import-try raising
-  NotImplementedError for everything else (WebP/GIF/TIFF/BMP).
+- extract_media_features: byte-level histogram features for payloads
+  with no in-sandbox decoder (audio/video).  Every raster format on the
+  reference's allowlist (main.py:169 — jpg/jpeg/png/bmp/tiff/tif/webp)
+  now decodes for real via the from-scratch codecs: pycore/pngdec.py,
+  pycore/jpegdec.py (baseline), pycore/bmpdec.py, pycore/tiffdec.py
+  (baseline), pycore/webpdec.py (lossless VP8L; lossy VP8 is the one
+  documented boundary).  decode_image remains the PIL-gated
+  general-format fallback behind an import-try (the sandbox ships no
+  PIL/cv2/ffmpeg).
 """
 
 from __future__ import annotations
@@ -48,17 +51,18 @@ FEATURE_SCHEMA = T.StructType(
 
 def decode_image(raw: bytes):
     """General-format decode via PIL when available.  PNG, baseline
-    JPEG, BMP and baseline TIFF decode without it (media_pixel_stats);
-    the one remaining raster format the reference accepts (WebP,
-    main.py:169-176) needs an image library the container doesn't ship
-    — a from-scratch VP8/VP8L decoder is out of scope."""
+    JPEG, BMP, baseline TIFF and lossless WebP (VP8L) decode without it
+    (media_pixel_stats); the only residue of the reference's allowlist
+    (main.py:169-176) not covered from scratch is LOSSY WebP (VP8
+    key-frame decode: bool-coder + intra prediction + loop filter),
+    which needs an image library the container doesn't ship."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - no PIL in sandbox
         raise NotImplementedError(
-            "non-PNG/JPEG decode needs PIL/cv2; sandbox has none — "
-            "PNG/JPEG use the from-scratch codecs, other formats use "
-            "byte_histogram_features (deterministic fake)"
+            "general-format decode needs PIL/cv2; sandbox has none — "
+            "PNG/JPEG/BMP/TIFF/VP8L use the from-scratch codecs, other "
+            "payloads use byte_histogram_features (deterministic fake)"
         ) from exc
     import io
 
@@ -182,17 +186,21 @@ def media_pixel_stats(raw: bytes):
         raise ValueError(
             "unsupported media container (not PNG/JPEG/BMP/TIFF/WebP)"
         )
+    import numpy as np
+
     n = w * h
-    sums = [0] * ch
-    counts = [0] * 256
-    for i, v in enumerate(px):
-        sums[i % ch] += v
-        counts[v] += 1
-    mean_micro = [(1_000_000 * s) // n for s in sums]
+    arr = np.frombuffer(px, dtype=np.uint8)
+    # exact integer per-channel sums + byte histogram, vectorized (this
+    # runs per row inside mapInArrow — the corpus-scale hot path); the
+    # entropy fold below stays a 256-step value-ascending float loop
+    # because the DuckDB oracle replays that exact accumulation order
+    sums = arr.reshape(n, ch).sum(axis=0, dtype=np.int64)
+    counts = np.bincount(arr, minlength=256)
+    mean_micro = [(1_000_000 * int(s)) // n for s in sums]
     total = float(len(px))
     acc = 0.0
     for v in range(256):
-        c = counts[v]
+        c = int(counts[v])
         if c:
             p = c / total
             acc = acc + p * math.log2(p)

@@ -164,26 +164,27 @@ def bmp_decode(data: bytes) -> Tuple[int, int, int, bytes]:
     else:
         channels = bitcount // 8
 
-    out = bytearray(width * height * channels)
-    for sy in range(height):
-        y = sy if top_down else height - 1 - sy
-        src = data_off + sy * stride
-        dst = y * width * channels
-        if bitcount == 8:
-            for x in range(width):
-                idx = data[src + x]
-                if idx >= len(palette):
-                    raise ValueError(f"palette index {idx} out of range")
-                if channels == 1:
-                    out[dst + x] = palette[idx][0]
-                else:
-                    out[dst + 3 * x : dst + 3 * x + 3] = bytes(palette[idx])
-        elif bitcount == 24:
-            for x in range(width):
-                b_, g_, r_ = data[src + 3 * x : src + 3 * x + 3]
-                out[dst + 3 * x : dst + 3 * x + 3] = bytes((r_, g_, b_))
+    # vectorized row unpack: one ndarray view over the padded rows, then a
+    # channel reorder (BGR(A)->RGB(A)) or palette gather — no per-pixel
+    # Python (the decode hot path runs inside mapInArrow at corpus scale)
+    import numpy as np
+
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bitcount == 8:
+        idx = rows[:, :width]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        pal = np.asarray(palette, dtype=np.uint8)  # (n, 3) RGB
+        if channels == 1:
+            out = pal[idx.reshape(-1), 0]
         else:
-            for x in range(width):
-                b_, g_, r_, a_ = data[src + 4 * x : src + 4 * x + 4]
-                out[dst + 4 * x : dst + 4 * x + 4] = bytes((r_, g_, b_, a_))
-    return width, height, channels, bytes(out)
+            out = pal[idx.reshape(-1)].reshape(-1)
+    else:
+        px = rows[:, : width * channels].reshape(height, width, channels)
+        order = [2, 1, 0] if channels == 3 else [2, 1, 0, 3]
+        out = px[:, :, order].reshape(-1)
+    return width, height, channels, out.tobytes()
