@@ -256,10 +256,10 @@ def extract_pixel_features(media: DataFrame) -> DataFrame:
     """(media_id, width, height, channels, mean_micro, entropy_milli) from
     DECODED pixels via one Arrow boundary — the real-decode upgrade of
     extract_media_features (which reads raw bytes).  PNG, baseline JPEG,
-    BMP and baseline TIFF rows decode for real via the from-scratch
-    codecs; other containers are skipped (never-raise pipeline policy) —
-    WebP (the one remaining reference-accepted format, main.py:169)
-    stays env-gated behind decode_image."""
+    BMP, baseline TIFF and lossless-WebP (VP8L) rows — the reference's
+    whole raster allowlist, main.py:169 — decode for real via the
+    from-scratch codecs; unrecognized containers are skipped
+    (never-raise pipeline policy)."""
     return media.select("media_id", "content").mapInArrow(
         _pixel_featurize, PIXEL_FEATURE_SCHEMA
     )
@@ -276,9 +276,15 @@ def _synth_pixels(media_id: int):
     return w, h, ch, px
 
 
-def _synth_png(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    from image_ocr_spark.pycore.pngdec import png_encode
-
+def _synth_media_df(
+    docs: DataFrame, pixels_fn, encode_fn, id_offset: int = 0
+) -> DataFrame:
+    """Shared fixture builder for every real-codec format: one mapInArrow
+    pass where ``pixels_fn(media_id) -> (w, h, ch, px)`` is the
+    closed-form pixel formula the DuckDB oracle replays and
+    ``encode_fn(media_id, w, h, ch, px) -> bytes`` is the from-scratch
+    encoder (per-format options — row order, endianness, compression —
+    keyed off media_id inside the lambda)."""
     schema = pa.schema(
         [
             pa.field("media_id", pa.int64()),
@@ -288,24 +294,34 @@ def _synth_png(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             pa.field("meta_height", pa.int32()),
         ]
     )
-    for batch in batches:
-        ids = batch.column(0).to_pylist()
-        blobs, ws, hs = [], [], []
-        for mid in ids:
-            w, h, ch, px = _synth_pixels(mid)
-            blobs.append(png_encode(w, h, ch, px))
-            ws.append(w)
-            hs.append(h)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(ids, pa.int64()),
-                pa.array(["image"] * len(ids), pa.string()),
-                pa.array(blobs, pa.binary()),
-                pa.array(ws, pa.int32()),
-                pa.array(hs, pa.int32()),
-            ],
-            schema=schema,
-        )
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            blobs, ws, hs = [], [], []
+            for mid in ids:
+                w, h, ch, px = pixels_fn(mid)
+                blobs.append(encode_fn(mid, w, h, ch, px))
+                ws.append(w)
+                hs.append(h)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(["image"] * len(ids), pa.string()),
+                    pa.array(blobs, pa.binary()),
+                    pa.array(ws, pa.int32()),
+                    pa.array(hs, pa.int32()),
+                ],
+                schema=schema,
+            )
+
+    return docs.select(
+        (F.col("doc_id") + F.lit(id_offset)).alias("media_id")
+    ).mapInArrow(
+        gen,
+        "media_id long, media_type string, content binary, "
+        "meta_width int, meta_height int",
+    )
 
 
 def synth_png_media(docs: DataFrame) -> DataFrame:
@@ -313,10 +329,10 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
     pixels, per-row filter cycling through all five filter types) — the
     fixture for the decoded-pixel feature path.  Grayscale/RGB/RGBA cycle
     by media_id % 3."""
-    return docs.select(F.col("doc_id").alias("media_id")).mapInArrow(
-        _synth_png,
-        "media_id long, media_type string, content binary, "
-        "meta_width int, meta_height int",
+    from image_ocr_spark.pycore.pngdec import png_encode
+
+    return _synth_media_df(
+        docs, _synth_pixels, lambda mid, w, h, ch, px: png_encode(w, h, ch, px)
     )
 
 
@@ -346,49 +362,18 @@ def _synth_jpeg_pixels(media_id: int):
     return w, h, 3, bytes(v for g in gray for v in (g, g, g))
 
 
-def _synth_jpeg(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    from image_ocr_spark.pycore.jpegdec import jpeg_encode
-
-    schema = pa.schema(
-        [
-            pa.field("media_id", pa.int64()),
-            pa.field("media_type", pa.string()),
-            pa.field("content", pa.binary()),
-            pa.field("meta_width", pa.int32()),
-            pa.field("meta_height", pa.int32()),
-        ]
-    )
-    for batch in batches:
-        ids = batch.column(0).to_pylist()
-        blobs, ws, hs = [], [], []
-        for mid in ids:
-            w, h, ch, px = _synth_jpeg_pixels(mid)
-            blobs.append(jpeg_encode(w, h, ch, px))
-            ws.append(w)
-            hs.append(h)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(ids, pa.int64()),
-                pa.array(["image"] * len(ids), pa.string()),
-                pa.array(blobs, pa.binary()),
-                pa.array(ws, pa.int32()),
-                pa.array(hs, pa.int32()),
-            ],
-            schema=schema,
-        )
-
-
 def synth_jpeg_media(docs: DataFrame, id_offset: int = 0) -> DataFrame:
     """MEDIA_SCHEMA rows whose content is a REAL baseline JPEG (Huffman
     entropy coding, DC prediction, all-ones quant tables) built from the
     constant-block formula — the bit-exact fixture for the decoded-pixel
     feature path.  Gray/RGB alternate by media_id parity."""
-    return docs.select(
-        (F.col("doc_id") + F.lit(id_offset)).alias("media_id")
-    ).mapInArrow(
-        _synth_jpeg,
-        "media_id long, media_type string, content binary, "
-        "meta_width int, meta_height int",
+    from image_ocr_spark.pycore.jpegdec import jpeg_encode
+
+    return _synth_media_df(
+        docs,
+        _synth_jpeg_pixels,
+        lambda mid, w, h, ch, px: jpeg_encode(w, h, ch, px),
+        id_offset,
     )
 
 
@@ -410,49 +395,20 @@ def _synth_bmp_pixels(media_id: int):
     return w, h, ch, px
 
 
-def _synth_bmp(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    from image_ocr_spark.pycore.bmpdec import bmp_encode
-
-    schema = pa.schema(
-        [
-            pa.field("media_id", pa.int64()),
-            pa.field("media_type", pa.string()),
-            pa.field("content", pa.binary()),
-            pa.field("meta_width", pa.int32()),
-            pa.field("meta_height", pa.int32()),
-        ]
-    )
-    for batch in batches:
-        ids = batch.column(0).to_pylist()
-        blobs, ws, hs = [], [], []
-        for mid in ids:
-            w, h, ch, px = _synth_bmp_pixels(mid)
-            blobs.append(bmp_encode(w, h, ch, px, top_down=bool(mid % 2)))
-            ws.append(w)
-            hs.append(h)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(ids, pa.int64()),
-                pa.array(["image"] * len(ids), pa.string()),
-                pa.array(blobs, pa.binary()),
-                pa.array(ws, pa.int32()),
-                pa.array(hs, pa.int32()),
-            ],
-            schema=schema,
-        )
-
-
 def synth_bmp_media(docs: DataFrame, id_offset: int = 0) -> DataFrame:
     """MEDIA_SCHEMA rows whose content is a REAL BMP (BITMAPINFOHEADER,
     palette/BGR/BGRA, 4-byte row padding; bottom-up and top-down
     alternate by media_id parity) — the lossless fixture for the
     decoded-pixel feature path.  Gray/RGB/RGBA cycle by media_id % 3."""
-    return docs.select(
-        (F.col("doc_id") + F.lit(id_offset)).alias("media_id")
-    ).mapInArrow(
-        _synth_bmp,
-        "media_id long, media_type string, content binary, "
-        "meta_width int, meta_height int",
+    from image_ocr_spark.pycore.bmpdec import bmp_encode
+
+    return _synth_media_df(
+        docs,
+        _synth_bmp_pixels,
+        lambda mid, w, h, ch, px: bmp_encode(
+            w, h, ch, px, top_down=bool(mid % 2)
+        ),
+        id_offset,
     )
 
 
@@ -467,60 +423,27 @@ def _synth_tiff_pixels(media_id: int):
     return w, h, ch, px
 
 
-def _synth_tiff(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    from image_ocr_spark.pycore.tiffdec import tiff_encode
-
-    schema = pa.schema(
-        [
-            pa.field("media_id", pa.int64()),
-            pa.field("media_type", pa.string()),
-            pa.field("content", pa.binary()),
-            pa.field("meta_width", pa.int32()),
-            pa.field("meta_height", pa.int32()),
-        ]
-    )
-    for batch in batches:
-        ids = batch.column(0).to_pylist()
-        blobs, ws, hs = [], [], []
-        for mid in ids:
-            w, h, ch, px = _synth_tiff_pixels(mid)
-            blobs.append(
-                tiff_encode(
-                    w,
-                    h,
-                    ch,
-                    px,
-                    big_endian=bool(mid % 2),
-                    packbits=bool((mid // 2) % 2),
-                    rows_per_strip=2,
-                )
-            )
-            ws.append(w)
-            hs.append(h)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(ids, pa.int64()),
-                pa.array(["image"] * len(ids), pa.string()),
-                pa.array(blobs, pa.binary()),
-                pa.array(ws, pa.int32()),
-                pa.array(hs, pa.int32()),
-            ],
-            schema=schema,
-        )
-
-
 def synth_tiff_media(docs: DataFrame, id_offset: int = 0) -> DataFrame:
     """MEDIA_SCHEMA rows whose content is a REAL baseline TIFF (single
     IFD, multi-strip; little/big endian alternate by media_id parity,
     none/PackBits compression by (media_id//2) parity) — the lossless
     fixture for the decoded-pixel feature path.  Gray/RGB/RGBA cycle by
     media_id % 3."""
-    return docs.select(
-        (F.col("doc_id") + F.lit(id_offset)).alias("media_id")
-    ).mapInArrow(
-        _synth_tiff,
-        "media_id long, media_type string, content binary, "
-        "meta_width int, meta_height int",
+    from image_ocr_spark.pycore.tiffdec import tiff_encode
+
+    return _synth_media_df(
+        docs,
+        _synth_tiff_pixels,
+        lambda mid, w, h, ch, px: tiff_encode(
+            w,
+            h,
+            ch,
+            px,
+            big_endian=bool(mid % 2),
+            packbits=bool((mid // 2) % 2),
+            rows_per_strip=2,
+        ),
+        id_offset,
     )
 
 
@@ -536,48 +459,17 @@ def _synth_webp_pixels(media_id: int):
     return w, h, ch, px
 
 
-def _synth_webp(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    from image_ocr_spark.pycore.webpdec import webp_encode
-
-    schema = pa.schema(
-        [
-            pa.field("media_id", pa.int64()),
-            pa.field("media_type", pa.string()),
-            pa.field("content", pa.binary()),
-            pa.field("meta_width", pa.int32()),
-            pa.field("meta_height", pa.int32()),
-        ]
-    )
-    for batch in batches:
-        ids = batch.column(0).to_pylist()
-        blobs, ws, hs = [], [], []
-        for mid in ids:
-            w, h, ch, px = _synth_webp_pixels(mid)
-            blobs.append(webp_encode(w, h, ch, px))
-            ws.append(w)
-            hs.append(h)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(ids, pa.int64()),
-                pa.array(["image"] * len(ids), pa.string()),
-                pa.array(blobs, pa.binary()),
-                pa.array(ws, pa.int32()),
-                pa.array(hs, pa.int32()),
-            ],
-            schema=schema,
-        )
-
-
 def synth_webp_media(docs: DataFrame, id_offset: int = 0) -> DataFrame:
     """MEDIA_SCHEMA rows whose content is a REAL lossless WebP (RIFF +
     VP8L chunk, canonical prefix codes — simple AND normal forms appear
     across the id cycle since low-cardinality channels compress to the
     2-symbol simple form) — the lossless fixture for the decoded-pixel
     feature path.  RGB/RGBA alternate by media_id parity."""
-    return docs.select(
-        (F.col("doc_id") + F.lit(id_offset)).alias("media_id")
-    ).mapInArrow(
-        _synth_webp,
-        "media_id long, media_type string, content binary, "
-        "meta_width int, meta_height int",
+    from image_ocr_spark.pycore.webpdec import webp_encode
+
+    return _synth_media_df(
+        docs,
+        _synth_webp_pixels,
+        lambda mid, w, h, ch, px: webp_encode(w, h, ch, px),
+        id_offset,
     )

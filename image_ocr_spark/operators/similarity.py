@@ -300,7 +300,7 @@ def _flat_f64(col, n: int):
 
 
 def assign_cells_arrow(
-    vecs: DataFrame, cents: list, nprobe: int = 1
+    vecs: DataFrame, cents: list, nprobe: int = 1, bc=None
 ) -> DataFrame:
     """(vid, v, cell) via mapInArrow — vectorized twin of _assign_cells
     (nprobe=1) / _assign_cells_multi (nprobe>1); still zero-shuffle.
@@ -310,11 +310,17 @@ def assign_cells_arrow(
     every stage that uses the relation — at the production C = sqrt(N)
     geometry (31,623 x 768-dim for a 10^9-row corpus) that is hundreds
     of MB per stage, where a broadcast ships once per executor and is
-    cached."""
+    cached.
+
+    Iterative callers pass their own ``bc`` (a broadcast of ``cents``)
+    and destroy it once the returned relation is fully consumed —
+    otherwise a Lloyd loop leaks one full centroid payload per round
+    until GC + ContextCleaner get around to it (review r5 finding)."""
     import pyarrow as pa
     import numpy as np
 
-    bc = vecs.sparkSession.sparkContext.broadcast(cents)
+    if bc is None:
+        bc = vecs.sparkSession.sparkContext.broadcast(cents)
     ncents = len(cents)
 
     def fn(batches):
@@ -841,13 +847,22 @@ def kmeans_train(
         cents = kmeanspp_init(
             embeddings, num_centroids, sample_size, id_col, vec_col
         )
+    sc = embeddings.sparkSession.sparkContext
     for _ in range(iters):
-        assigned = (
-            assign_cells_arrow(vecs, cents)
-            if impl == "arrow"
-            else _assign_cells(vecs, cents)
-        )
-        updated = _update_centroids(assigned).collect()
+        if impl == "arrow":
+            # round-scoped broadcast: destroyed as soon as the centroid
+            # update materializes, so the loop never stacks payloads
+            # (at C = sqrt(N) geometry each is hundreds of MB)
+            bc = sc.broadcast(cents)
+            assigned = assign_cells_arrow(vecs, cents, bc=bc)
+        else:
+            bc = None
+            assigned = _assign_cells(vecs, cents)
+        try:
+            updated = _update_centroids(assigned).collect()
+        finally:
+            if bc is not None:
+                bc.destroy()
         new_cents = sorted((r.centroid_id, list(r.centv)) for r in updated)
         if new_cents == cents:
             break  # integer-exact fixed point; further passes are no-ops

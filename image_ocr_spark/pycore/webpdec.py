@@ -330,19 +330,14 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixDecoder:
             first = br.read(1)
         if first >= alphabet_size:
             raise ValueError("simple-code symbol out of alphabet")
-        lengths[first] = 1
+        lengths[first] = 1  # single symbol decodes via 0-bit reads
         if num_symbols == 2:
             second = br.read(8)
             if second >= alphabet_size or second == first:
                 raise ValueError("bad simple-code second symbol")
             lengths[second] = 1
-        else:
-            lengths[first] = 1  # single symbol: decoder emits 0-bit reads
-            return _PrefixDecoder(lengths)
         return _PrefixDecoder(lengths)
-    num_code_lengths = 4 + br.read(4)
-    if num_code_lengths > 19:
-        raise ValueError("bad code-length-code count")
+    num_code_lengths = 4 + br.read(4)  # 4 + 4 bits <= 19 by construction
     cl_lengths = [0] * 19
     for i in range(num_code_lengths):
         cl_lengths[_CL_ORDER[i]] = br.read(3)

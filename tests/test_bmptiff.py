@@ -3,8 +3,9 @@ pycore/tiffdec.py — r05 late): roundtrip identity across channel
 layouts / row orders / byte orders / compressions, loud failures on
 corrupt or unsupported input, seeded corruption fuzz (decode or
 ValueError, never a crash or silent garbage), and the Spark
-pixel-feature operator decoding all four container formats of the
-reference's raster allowlist (main.py:169; WebP stays the documented
+pixel-feature operator decoding PNG+JPEG+BMP+TIFF together (lossless
+WebP joined the allowlist one commit later — tests/test_webpdec.py
+covers the full five-format union; lossy VP8 is the one documented
 boundary)."""
 
 import random
