@@ -49,7 +49,25 @@ DROP_TAGS = frozenset("script style noscript template svg iframe object".split()
 # when one of these opens a block we keep the enclosing class instead.
 _NEUTRAL = frozenset("body html head tbody thead".split())
 
-_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>'\"]|\"[^\"]*\"|'[^']*')*?)(/?)>")
+# single-lookup dispatch for the scan loop: tag name -> handling kind
+# (anything absent — span/b/i/em/strong/img/... — needs no work at all)
+_KIND_BLOCK, _KIND_DROP, _KIND_A = 1, 2, 3
+_KIND = {t: _KIND_BLOCK for t in BLOCK_TAGS}
+_KIND.update({t: _KIND_DROP for t in DROP_TAGS})
+_KIND["a"] = _KIND_A
+
+# attrs consume RUNS of plain chars (not char-at-a-time) and are
+# non-capturing — the attr text is never used, and materializing it per
+# tag was ~10% of tokenize time.  '/' is excluded from the run and given
+# its own single-char alternative so a trailing "/>" still reaches the
+# lazy (/?)> exactly as before (a greedy run would swallow the '/').
+# The run and quote bodies are POSSESSIVE (++/*+): the alternatives are
+# first-char-disjoint, so backtracking into a run can never rescue a
+# failed match — it only re-splits the run, which on hostile unterminated
+# -quote inputs is the classic (a+)* exponential blowup.
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:[^>'\"/]++|/|\"[^\"]*+\"|'[^']*+')*?(/?)>"
+)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _DECL_RE = re.compile(r"<![^>]*>")
 _WS_RE = re.compile(r"\s+")
@@ -105,6 +123,7 @@ def tokenize_html(raw: bytes) -> List[Dict]:
 
     nodes: List[Dict] = []
     buf: List[str] = []          # text fragments of current block
+    buf_raw_len = 0              # total chars in buf (pre-collapse)
     buf_link_len = 0             # chars contributed from inside <a>
     boiler_stack: List[str] = [] # open BOILER_TAGS ancestors
     drop_depth = 0               # >0 while inside DROP_TAGS
@@ -113,13 +132,12 @@ def tokenize_html(raw: bytes) -> List[Dict]:
     in_title = False
 
     def flush() -> None:
-        nonlocal buf, buf_link_len
-        parts, link_chars = buf, buf_link_len
-        buf, buf_link_len = [], 0
+        nonlocal buf, buf_raw_len, buf_link_len
+        parts, raw_len, link_chars = buf, buf_raw_len, buf_link_len
+        buf, buf_raw_len, buf_link_len = [], 0, 0
         joined = _collapse("".join(parts))
         if not joined:
             return
-        raw_len = sum(len(p) for p in parts)
         # scale link chars to the collapsed length so the ratio is preserved
         # under whitespace collapse (integer floor keeps everything exact)
         n_chars = len(joined)
@@ -140,7 +158,10 @@ def tokenize_html(raw: bytes) -> List[Dict]:
 
     unescape = _htmlmod.unescape
     buf_append = buf.append
-    lower_cache: Dict[str, str] = {}  # raw tag -> lowercased (tags repeat)
+    # raw tag -> (kind, lowercased name): tags repeat, so each distinct
+    # spelling pays the lower()+dict classification once per document
+    tag_cache: Dict[str, tuple] = {}
+    tag_cache_get = tag_cache.get
     pos = 0
     for m in _TAG_RE.finditer(text):
         start = m.start()
@@ -150,14 +171,20 @@ def tokenize_html(raw: bytes) -> List[Dict]:
                 frag = unescape(frag)
             if frag:
                 buf_append(frag)
+                buf_raw_len += len(frag)
                 if a_depth > 0:
                     buf_link_len += len(frag)
         pos = m.end()
-        closing, rawname, _attrs, selfclose = m.groups()
-        name = lower_cache.get(rawname)
-        if name is None:
-            name = lower_cache[rawname] = rawname.lower()
-        if name in BLOCK_TAGS:
+        rawname = m.group(2)
+        ck = tag_cache_get(rawname)
+        if ck is None:
+            name = rawname.lower()
+            ck = tag_cache[rawname] = (_KIND.get(name, 0), name)
+        kind, name = ck
+        if kind == 0:  # span/b/i/em/... — no structural effect
+            continue
+        closing = m.group(1)
+        if kind == _KIND_BLOCK:
             if buf:
                 flush()
                 buf_append = buf.append  # flush rebinds buf
@@ -177,12 +204,12 @@ def tokenize_html(raw: bytes) -> List[Dict]:
                 block_class = "title" if in_title else name
             elif closing and name not in _NEUTRAL:
                 block_class = "div"
-        elif name in DROP_TAGS:
+        elif kind == _KIND_DROP:
             if closing:
                 drop_depth = max(0, drop_depth - 1)
-            elif not selfclose:
+            elif not m.group(3):  # selfclose
                 drop_depth += 1
-        elif name == "a":
+        else:  # _KIND_A
             if closing:
                 a_depth = max(0, a_depth - 1)
             else:
@@ -194,6 +221,7 @@ def tokenize_html(raw: bytes) -> List[Dict]:
             frag = unescape(frag)
         if frag:
             buf.append(frag)
+            buf_raw_len += len(frag)
             if a_depth > 0:
                 buf_link_len += len(frag)
     if buf:
