@@ -60,20 +60,40 @@ def count_occurrences(text: str, kw: str) -> int:
     return text.count(kw)
 
 
+# keyword dicts are module constants, so the uppercase fold of every key
+# is precomputed once per distinct dict instead of 28x per document.
+# The cache entry PINS the source dict (value holds a reference): id()
+# keys are only unique among live objects, so caching by id without
+# pinning would serve a dead dict's prep to a new dict at the same
+# address.
+_PREP_CACHE: Dict[int, tuple] = {}
+
+
+def _prepped(d: Dict[str, int]) -> list:
+    entry = _PREP_CACHE.get(id(d))
+    if entry is None or entry[0] is not d:
+        entry = _PREP_CACHE[id(d)] = (
+            d,
+            [(kw, kw.upper(), w10) for kw, w10 in d.items()],
+        )
+    return entry[1]
+
+
 def keyword_score_centi(
     text_folded: str, positive_w10: Dict[str, int], negative_w10: Dict[str, int]
 ) -> Tuple[int, List[str]]:
     """Integer score in centi-units + matched keyword list (ref
-    classifier.py:218-245).  ``text_folded`` must be fold_alnum_upper()ed."""
+    classifier.py:218-245).  ``text_folded`` must be fold_alnum_upper()ed;
+    keyword dicts are treated as immutable (their fold prep is cached)."""
     score = 0
     matched = []
-    for kw, w10 in positive_w10.items():
-        cnt = count_occurrences(text_folded, kw.upper())
+    for kw, kw_u, w10 in _prepped(positive_w10):
+        cnt = count_occurrences(text_folded, kw_u)
         if cnt > 0:
             score += w10 * (10 + 3 * (cnt - 1))
             matched.append(kw)
-    for kw, w10 in negative_w10.items():
-        if kw.upper() in text_folded:
+    for _kw, kw_u, w10 in _prepped(negative_w10):
+        if kw_u in text_folded:
             score -= 5 * w10
     return max(0, score), matched
 

@@ -175,7 +175,10 @@ def tokenize_html(raw: bytes) -> List[Dict]:
                 if a_depth > 0:
                     buf_link_len += len(frag)
         pos = m.end()
-        rawname = m.group(2)
+        # one C call for all three groups: ~99% of tags in web markup are
+        # structural (p/div/li/td/a/...), so the closing/selfclose flags
+        # are almost always consumed
+        closing, rawname, selfclose = m.group(1, 2, 3)
         ck = tag_cache_get(rawname)
         if ck is None:
             name = rawname.lower()
@@ -183,7 +186,6 @@ def tokenize_html(raw: bytes) -> List[Dict]:
         kind, name = ck
         if kind == 0:  # span/b/i/em/... — no structural effect
             continue
-        closing = m.group(1)
         if kind == _KIND_BLOCK:
             if buf:
                 flush()
@@ -207,7 +209,7 @@ def tokenize_html(raw: bytes) -> List[Dict]:
         elif kind == _KIND_DROP:
             if closing:
                 drop_depth = max(0, drop_depth - 1)
-            elif not m.group(3):  # selfclose
+            elif not selfclose:
                 drop_depth += 1
         else:  # _KIND_A
             if closing:
