@@ -192,3 +192,23 @@ def test_truncation_clamp():
     big = b"<body><p>" + b"word " * 600000 + b"</p></body>"
     nodes = tokenize_html(big)
     assert isinstance(nodes, list)
+
+
+def test_hostile_attr_backtracking_is_linear():
+    """The attr scanner consumes possessive runs; a failing tag match
+    (unterminated quote, no closing '>') must die in linear time.  A
+    greedy NON-possessive run alternation here is the classic (a+)*
+    exponential-backtrack shape — this input hung that variant for
+    minutes; the shipped pattern finishes in milliseconds."""
+    import time
+
+    cases = [
+        b"<p " + b"ab " * 4000 + b"'never closed",
+        b"<div " + b"x" * 20000 + b'"' + b"y" * 100,
+        (b"<p a='1' " * 500) + b"'",
+    ]
+    t0 = time.time()
+    for raw in cases:
+        nodes = tokenize_html(raw)
+        assert isinstance(nodes, list)  # total, never raises
+    assert time.time() - t0 < 5.0, "attr scan backtracking blow-up"
