@@ -1,0 +1,126 @@
+"""N-gram language-model quality gate — the CCNet-style corpus-frequency
+filter (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data", LREC 2020) reduced to EXACT INTEGERS so
+the DuckDB oracle replays it bit-identically: instead of a KenLM
+perplexity (float log-probs — cross-engine libm hazards), a document's
+quality signal is its *familiarity*: the fraction of its word bigrams
+that appear in the corpus-trained top-V bigram vocabulary, in integer
+micro-units.  Low familiarity flags the same tail CCNet's high-perplexity
+bucket does (gibberish, boilerplate soup, wrong-language residue) while
+keeping the established tri-engine exactness rule.
+
+Scale shape (the 100 TB story):
+- training is ONE count shuffle (map-side combined: hot bigrams collapse
+  to one row per map partition) followed by a TakeOrdered(V) — no full
+  sort, O(V) driver traffic;
+- scoring is SHUFFLE-FREE: the vocabulary travels as one Spark broadcast
+  (a few MB at V=10^5-10^6) and every row is scored in the scan stage by
+  a vectorized Arrow pass — the same ship-the-model-not-the-corpus shape
+  as IVF cell assignment (operators/similarity.py).
+
+There is no reference counterpart (the reference has no corpus-level
+statistics at all); this is a beyond-reference training-data operator
+like dedup/ANN, built from the public CCNet/C4 recipe.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bigrams_col(toks: Column) -> Column:
+    """array<string> of adjacent word pairs "a b" from a token array.
+    Size max(n-1, 0); [] for empty/single-token docs.  transform's lambda
+    index is 0-based and element_at is 1-based, so pair i joins token
+    i+1 with token i+2 (the DuckDB twin uses 1-based list lambdas:
+    ``x || ' ' || toks[i+1]`` over the same slice)."""
+    return F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+    )
+
+
+def train_bigram_vocab(
+    docs: DataFrame,
+    vocab_size: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """(gram, cnt) — the `vocab_size` most frequent word bigrams across
+    the corpus, ties broken gram-ascending (deterministic, so the DuckDB
+    replay selects the identical vocabulary).  Tokens are exact-space
+    splits: corpus text is whitespace-collapsed by the extractor, and
+    split-on-one-space is the established cross-engine-identical
+    tokenization (functions/textstats.py tokens())."""
+    toks = F.split(F.col(text_col), " ")
+    grams = docs.select(F.explode(bigrams_col(toks)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    # orderBy+limit compiles to TakeOrdered — no full sort of the vocab
+    return counts.orderBy(F.desc("cnt"), F.asc("gram")).limit(vocab_size)
+
+
+def familiarity_scores(
+    docs: DataFrame,
+    vocab: Optional[list] = None,
+    vocab_size: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, n_known, familiarity_micro) — per-document
+    bigram familiarity against the corpus vocabulary, scored in the scan
+    stage with zero shuffle (one broadcast of the vocab set).
+
+    familiarity_micro = floor(1e6 * n_known / n_grams), 0 when the doc
+    has <2 tokens — exact integers end to end.  ``vocab`` is a list of
+    gram strings (pass one to reuse a trained model across corpora);
+    when None the vocabulary is trained on ``docs`` itself first.
+    """
+    import pyarrow as pa
+
+    if vocab is None:
+        vocab = [
+            r.gram
+            for r in train_bigram_vocab(docs, vocab_size, text_col).collect()
+        ]
+    bc = docs.sparkSession.sparkContext.broadcast(frozenset(vocab))
+
+    def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        known_set = bc.value
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            n_grams, n_known, fam = [], [], []
+            for t in texts:
+                toks = (t or "").split(" ")
+                n = len(toks) - 1
+                if n <= 0:
+                    n_grams.append(0)
+                    n_known.append(0)
+                    fam.append(0)
+                    continue
+                k = 0
+                prev = toks[0]
+                for nxt in toks[1:]:
+                    if prev + " " + nxt in known_set:
+                        k += 1
+                    prev = nxt
+                n_grams.append(n)
+                n_known.append(k)
+                fam.append((1_000_000 * k) // n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(n_grams, pa.int64()),
+                    pa.array(n_known, pa.int64()),
+                    pa.array(fam, pa.int64()),
+                ],
+                ["doc_id", "n_grams", "n_known", "familiarity_micro"],
+            )
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("t")
+    ).mapInArrow(
+        score, "doc_id long, n_grams long, n_known long, familiarity_micro long"
+    )
