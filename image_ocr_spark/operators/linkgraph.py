@@ -1,0 +1,241 @@
+"""Host-level link graph + exact-integer PageRank centrality.
+
+Production web pipelines weight and prune crawl frontiers with host-level
+link centrality (Common Crawl publishes harmonic/PageRank host ranks;
+CCNet/RefinedWeb-style curation uses them as quality priors).  This module
+builds that signal from raw pages in three composable stages:
+
+1. **extract_links(pages)** — (url, href) per anchor, via one Arrow pass
+   that calls the pycore extractor (pycore/links.py) per row: the Spark
+   output is byte-identical to pure Python by construction, the same
+   single-source-of-truth discipline as the tokenizer.  Scan-stage only.
+2. **resolve_edges(links)** — (src_host, dst_host) per link: pure SQL
+   string expressions (absolute http(s), protocol-relative, and
+   site-relative hrefs; mailto:/javascript:/data:/tel:/#-only dropped;
+   scheme-specific default-port strip shared with functions/urls.py).
+   DuckDB replays every branch bit-for-bit (tests/test_linkgraph.py).
+3. **host_rank(edges)** — damped PageRank over the host multigraph in
+   EXACT INTEGERS (micro-rank units, `div` integer division in both
+   engines), so a fixed round count is replayed value-identically by an
+   unrolled materialized-CTE DuckDB oracle — the same determinism recipe
+   as Lloyd/k-means++ (operators/similarity.py).
+
+Scale shape (the 100 TB story):
+- link extraction rides the scan (no shuffle; hrefs are a few dozen
+  strings per page);
+- the edge relation aggregates to (src, dst, weight) — host pairs, which
+  is ~10^9 rows for the whole web, NOT 10^12 (the per-page fan-in
+  collapses in the map-side combine);
+- each rank round is ONE shuffle (contributions grouped by dst host) and
+  the loop carries the iterative-loop discipline proven in
+  dedup_components: per-round EAGER localCheckpoint (plan growth is
+  ~k^rounds without truncation — measured 104 s/round by iteration 4 in
+  r04), exact RDD-id release of the previous round's storage, fixed
+  round count (PageRank contracts geometrically at rate = damping; 8-12
+  rounds is the production norm, and a fixed K is what makes the oracle
+  replayable).
+
+Dangling hosts (no out-links) keep receiving the base teleport mass but
+redistribute nothing — the standard "mass leaks" simplification; ranks
+remain a deterministic total order, which is all a quality prior needs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from image_ocr_spark.operators.dedup import _ckpt_rdd_id, _unpersist_rdd_ids
+from image_ocr_spark.pycore.links import find_hrefs
+
+DEFAULT_ROUNDS = 8
+DEFAULT_DAMPING_MILLI = 850
+RANK_SCALE = 1_000_000  # one host's initial rank, in micro-rank units
+
+# rank checkpoints of past host_rank calls (same contract as
+# dedup._CC_CKPT_IDS: NOT auto-released — a localCheckpoint unpersist
+# destroys the data; call release_rank_checkpoints once consumed).
+_RANK_CKPT_IDS: set = set()
+
+
+def release_rank_checkpoints(spark) -> None:
+    """Free the checkpoint storage of ALL previously returned host_rank
+    results (they become unusable — localCheckpoints have no lineage)."""
+    _unpersist_rdd_ids(spark.sparkContext, set(_RANK_CKPT_IDS))
+    _RANK_CKPT_IDS.clear()
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, href) — one row per anchor with a non-empty href, in
+    document order.  One Arrow pass over (url, html); everything else is
+    pruned before the Python boundary (the fat-column discipline of the
+    tokenizer)."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
+            out_url, out_href = [], []
+            for u, h in zip(urls, htmls):
+                for href in find_hrefs(h or b""):
+                    out_url.append(u)
+                    out_href.append(href)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_url, pa.string()), pa.array(out_href, pa.string())],
+                ["url", "href"],
+            )
+
+    return pages.select(
+        F.col(url_col).alias("url"), F.col(html_col).alias("html")
+    ).mapInArrow(run, "url string, href string")
+
+
+def _strip_default_port(hostport: Column, scheme: Column) -> Column:
+    """Scheme-specific default-port strip (functions/urls.py rule:
+    http://h:443 is a DISTINCT origin and must not be conflated)."""
+    return (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+
+
+def resolve_edges(
+    links: DataFrame, url_col: str = "url", href_col: str = "href"
+) -> DataFrame:
+    """(src_host, dst_host) per link — pure per-row string expressions
+    (scan stage, shuffle-free, DuckDB-replayable).
+
+    Branches, in order:
+    - non-navigational schemes (mailto:, javascript:, data:, tel:) and
+      fragment-only hrefs -> dropped;
+    - absolute http(s)://host/...  -> dst = lowercased host, scheme's
+      default port stripped;
+    - absolute OTHER-scheme hrefs (ftp:// ...) -> dropped (not part of
+      the http host graph);
+    - protocol-relative //host/... -> dst host with the SRC scheme's
+      default-port rule (that is the scheme the link inherits);
+    - everything else (site-relative /a, a/b, ../c, ?q) -> dst = src
+      host.
+    Rows whose src url has no parseable host are dropped.
+    """
+    href = F.btrim(F.col(href_col))
+    low = F.lower(href)
+    src_scheme = F.lower(F.regexp_extract(F.col(url_col), "^([A-Za-z]+)://", 1))
+    src_host = F.lower(
+        F.regexp_extract(F.col(url_col), "^[A-Za-z]+://([^/?#]+)", 1)
+    )
+    src_host = _strip_default_port(src_host, src_scheme)
+
+    href_scheme = F.lower(
+        F.regexp_extract(href, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    abs_host = F.lower(F.regexp_extract(href, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    proto_rel_host = F.lower(F.regexp_extract(href, "^//([^/?#]+)", 1))
+
+    dropped = (
+        (href == "")
+        | low.startswith("mailto:")
+        | low.startswith("javascript:")
+        | low.startswith("data:")
+        | low.startswith("tel:")
+        | href.startswith("#")
+    )
+    dst = (
+        F.when(
+            href_scheme != "",
+            F.when(
+                href_scheme.isin("http", "https"),
+                _strip_default_port(abs_host, href_scheme),
+            ).otherwise(F.lit(None).cast("string")),
+        )
+        .when(href.startswith("//"), _strip_default_port(proto_rel_host, src_scheme))
+        .otherwise(src_host)
+    )
+    return (
+        links.select(
+            src_host.alias("src_host"),
+            F.when(dropped, F.lit(None).cast("string")).otherwise(dst).alias(
+                "dst_host"
+            ),
+        )
+        .filter(
+            F.col("dst_host").isNotNull()
+            & (F.col("dst_host") != "")
+            & (F.col("src_host") != "")
+        )
+    )
+
+
+def host_rank(
+    edges: DataFrame,
+    rounds: int = DEFAULT_ROUNDS,
+    damping_milli: int = DEFAULT_DAMPING_MILLI,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """(host, rank) — damped PageRank over the host multigraph after
+    ``rounds`` synchronous iterations, in exact micro-rank integers.
+
+    r_0(v) = RANK_SCALE for every host seen as a source or target;
+    r_{t+1}(v) = base + (damping_milli * contrib_t(v)) div 1000, where
+    contrib_t(v) = sum over in-edges (u,v) of (r_t(u) * w_uv) div W_u,
+    base = ((1000 - damping_milli) * RANK_SCALE) div 1000, w_uv = link
+    multiplicity and W_u = total out-weight of u (column ``tw``).  All divisions are
+    integer `div` on longs — deterministic across partitionings and
+    engines, so the unrolled DuckDB oracle matches value-for-value.
+    """
+    if rounds < 1:
+        raise ValueError("host_rank needs rounds >= 1")
+    src, dst = F.col(src_col), F.col(dst_col)
+    # static per-edge relation: weight + source out-weight, checkpointed
+    # once (it is re-joined every round)
+    w = edges.groupBy(src.alias("src"), dst.alias("dst")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    outw = w.groupBy("src").agg(F.sum("w").alias("tw"))
+    wj = w.join(outw, "src").localCheckpoint(eager=True)
+    wj_id = _ckpt_rdd_id(wj)
+
+    nodes = (
+        edges.select(src.alias("host"))
+        .unionByName(edges.select(dst.alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes_id = _ckpt_rdd_id(nodes)
+
+    base = ((1000 - damping_milli) * RANK_SCALE) // 1000
+    r = nodes.withColumn("rank", F.lit(RANK_SCALE).cast("long"))
+    prev_id = None
+    sc = edges.sparkSession.sparkContext
+    for _ in range(rounds):
+        contrib = (
+            wj.join(r, wj["src"] == r["host"])
+            .select("dst", F.expr("(rank * w) div tw").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        r_next = nodes.join(contrib, nodes["host"] == contrib["dst"], "left").select(
+            "host",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_milli} * coalesce(contrib, 0L)) div 1000")
+            ).alias("rank"),
+        )
+        # eager checkpoint = this round's materialization AND plan
+        # truncation (dedup_components discipline); then free last round
+        r = r_next.localCheckpoint(eager=True)
+        new_id = _ckpt_rdd_id(r)
+        if prev_id is not None:
+            _unpersist_rdd_ids(sc, {prev_id})
+        prev_id = new_id
+    _unpersist_rdd_ids(sc, {wj_id, nodes_id})
+    if prev_id is not None:
+        _RANK_CKPT_IDS.add(prev_id)
+    return r
