@@ -170,6 +170,132 @@ def test_pair_query_at_sf1(spark, sf1, duck, name):
 
 
 @pytest.mark.skipif(not STRESS, reason="set SPARK_GRAFT_STRESS=1 (slow)")
+def test_bloom_incremental_at_sf1(spark, sf1, duck):
+    """Bloom incremental dedup at 100x: OLD = even ids (~25k docs), NEW =
+    odd ids + 10k re-submitted old texts.  The confirm path must equal
+    the exact anti-join by value; the bitmap is sized 16 bits/key."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.bloom import incremental_new
+    from image_ocr_spark.operators.dedup import VARIANT_OFFSET
+
+    m_bits, k = 1 << 22, 7
+    docs = spark.read.parquet(f"{sf1}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        old.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    t0 = time.time()
+    got = sorted(
+        r.doc_id for r in incremental_new(old, new, "text", m_bits, k).collect()
+    )
+    spark_s = time.time() - t0
+    t0 = time.time()
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            f"""
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+new AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {VARIANT_OFFSET}, text FROM documents WHERE doc_id % 4 = 0
+)
+SELECT doc_id FROM new WHERE text NOT IN (SELECT text FROM old)
+"""
+        ).fetchall()
+    )
+    duck_s = time.time() - t0
+    print(
+        f"\n[sf1.0] bloom_incremental: rows={len(got)} spark={spark_s:.1f}s "
+        f"oracle={duck_s:.1f}s"
+    )
+    assert got == want
+
+
+@pytest.mark.skipif(not STRESS, reason="set SPARK_GRAFT_STRESS=1 (slow)")
+def test_host_rank_at_sf1(spark, sf1, duck):
+    """PageRank at 100x: a deterministic skewed multigraph (~150k edges,
+    1009 hosts) ranked for 6 rounds, value-identical to the unrolled
+    DuckDB oracle — proves the integer arithmetic stays exact when each
+    round's contributions sum across many partitions."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.linkgraph import (
+        DEFAULT_DAMPING_MILLI,
+        RANK_SCALE,
+        host_rank,
+        release_rank_checkpoints,
+    )
+
+    hosts_n, rounds = 1009, 6
+    docs = spark.read.parquet(f"{sf1}/documents.parquet").select("doc_id")
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % hosts_n)).alias("src_host"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit("h"),
+                        F.least(
+                            (F.col("doc_id") + s) % hosts_n,
+                            (F.col("doc_id") * 3 + s) % hosts_n,
+                        ),
+                    )
+                    for s in (1, 2, 3)
+                ]
+            )
+        ).alias("dst_host"),
+    )
+    t0 = time.time()
+    got = sorted(
+        (r.host, r.rank) for r in host_rank(edges, rounds=rounds).collect()
+    )
+    spark_s = time.time() - t0
+    release_rank_checkpoints(spark)
+
+    base = ((1000 - DEFAULT_DAMPING_MILLI) * RANK_SCALE) // 1000
+    sql = f"""
+WITH edges AS MATERIALIZED (
+  SELECT 'h' || (doc_id % {hosts_n}) AS src,
+         'h' || least((doc_id + s) % {hosts_n}, (doc_id * 3 + s) % {hosts_n}) AS dst
+  FROM documents, unnest([1, 2, 3]) t(s)
+),
+w AS MATERIALIZED (SELECT src, dst, count(*)::BIGINT AS w FROM edges GROUP BY 1, 2),
+outw AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS tw FROM w GROUP BY 1),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT host FROM (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)
+),
+r0 AS MATERIALIZED (SELECT host, {RANK_SCALE}::BIGINT AS rank FROM nodes)
+"""
+    for t in range(rounds):
+        sql += f""",
+r{t + 1} AS MATERIALIZED (
+  SELECT n.host,
+         ({base} + ({DEFAULT_DAMPING_MILLI} * coalesce(c.contrib, 0)) // 1000)::BIGINT AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT w.dst AS host, sum((r.rank * w.w) // o.tw)::BIGINT AS contrib
+    FROM w JOIN outw o ON w.src = o.src JOIN r{t} r ON w.src = r.host
+    GROUP BY w.dst
+  ) c ON n.host = c.host
+)"""
+    sql += f"\nSELECT host, rank FROM r{rounds} ORDER BY host"
+    t0 = time.time()
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    duck_s = time.time() - t0
+    print(
+        f"\n[sf1.0] host_rank (hosts={hosts_n}, rounds={rounds}): "
+        f"spark={spark_s:.1f}s oracle={duck_s:.1f}s"
+    )
+    assert got == want
+    assert len({r for _, r in got}) > 1
+
+
+@pytest.mark.skipif(not STRESS, reason="set SPARK_GRAFT_STRESS=1 (slow)")
 def test_no_cached_relation_leaks_after_battery(spark):
     """Storage census (VERDICT r03 item 9): after the whole sf1.0 battery,
     the only persisted relations allowed are the per-(session, sf)
