@@ -425,6 +425,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # running windows by receipt_items; T1 top-k by knn_bruteforce;
 # minhash signatures by dedup_minhash_lsh (+ test_dedup_scale parity);
 # per-query IVF recall by ivf_recall_mean / ivf_recall_clustered.
+#
+# NOTE(r05 late): three more intermediates/duplicates were retired to
+# admit the late round-5 operators as driver-checked rows:
+# simhash_fingerprints (the signature relation dedup_simhash computes
+# internally; Arrow/expr twins stay parity-tested in test_dedup_scale),
+# doc_fingerprints (the relation fingerprint_pairs builds; winnowing
+# still value-checked through that row), receipt_warnings (P2 warning
+# semantics stay driver-checked via invoice_warnings and pytest-checked
+# via test_results_json).  In their place: lm_quality, bloom_dedup,
+# host_rank — each a novel operator with a full DuckDB value oracle.
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,17 +458,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from image_ocr_spark.operators.dedup import ngram_jaccard_pairs, with_variants
 
     return ngram_jaccard_pairs(with_variants(_docs(spark, sf_dir)), min_shared=3)
-
-
-def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Expression path IS production for simhash: md5 dominates its cost
-    and the JVM beats a per-token hashlib loop (see simhash_arrow's
-    docstring; the Arrow twin stays parity-tested)."""
-    from image_ocr_spark.operators.dedup import with_simhash
-
-    return with_simhash(_docs(spark, sf_dir).select("doc_id", "text")).select(
-        "doc_id", F.col("fp").alias("simhash")
-    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,37 +609,6 @@ def q_receipt_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "tax_rate_8", "tax_rate_10", "subtotal")
 
 
-def _warning_variants_receipt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic degraded receipts: doc_id%4 picks which field is
-    missing, so every receipt_warnings branch fires somewhere."""
-    k = F.col("doc_id") % 4
-    full = F.concat_ws(
-        "\n", F.lit("スーパーX"), F.lit("2024年1月2日"), F.lit("合計 ¥500"), F.lit("現金")
-    )
-    nodate = F.concat_ws("\n", F.lit("スーパーX"), F.lit("合計 ¥500"))
-    nototal = F.concat_ws("\n", F.lit("スーパーX"), F.lit("2024年1月2日"))
-    text = (
-        F.when(k == 0, full)
-        .when(k == 1, nodate)
-        .when(k == 2, nototal)
-        .otherwise(F.lit(""))
-    )
-    return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
-
-
-def q_receipt_warnings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Warnings as first-class output (ref receipt.py:456-482; VERDICT r01
-    missing #2), exploded to scalar rows for the driver canonicalizer."""
-    from image_ocr_spark.functions.extract_fields import extract_receipt_fields_df
-
-    out = extract_receipt_fields_df(
-        _warning_variants_receipt(spark, sf_dir), keys=("doc_id",)
-    )
-    return out.select(
-        "doc_id", F.posexplode("warnings").alias("warn_seq", "warning")
-    )
-
-
 def q_invoice_warnings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invoice warnings (ref invoice.py:477-503): degraded variants per
     doc_id%4 — missing 請求日 / missing 振込先 / bank without account no."""
@@ -681,14 +649,6 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_per_bpe_milli"),
     )
-
-
-def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowed rolling k-gram document fingerprints (MOSS-style) — compact
-    position-robust signatures for plagiarism/near-dup detection."""
-    from image_ocr_spark.operators.dedup import with_fingerprints
-
-    return with_fingerprints(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
 def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,6 +832,80 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-familiarity quality gate (Wenzek et al., LREC
+    2020) in exact integers: vocabulary trained on the corpus itself (one
+    map-combined count shuffle + TakeOrdered), scoring shuffle-free in
+    the scan stage via one broadcast — operators/lmquality.py."""
+    from image_ocr_spark.operators.lmquality import familiarity_scores
+
+    return familiarity_scores(_docs(spark, sf_dir), vocab_size=512)
+
+
+# bloom_dedup fixture geometry: OLD = even doc_ids, NEW = odd doc_ids
+# plus re-submitted copies of half the old texts under fresh ids (the
+# re-crawl overlap the operator exists to kill).  Undersized bitmap so
+# true false-positives occur and confirm() is actually exercised.
+_BLOOM_M_BITS = 1 << 16
+_BLOOM_K = 7
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sketch incremental snapshot dedup (operators/bloom.py):
+    "what is NEW in this re-crawl" — exact left_anti semantics with the
+    old snapshot never shuffled (sketch broadcast + scan-stage probe +
+    confirm over only the maybe-seen minority)."""
+    from image_ocr_spark.operators.bloom import incremental_new
+    from image_ocr_spark.operators.dedup import VARIANT_OFFSET
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    resubmits = old.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + VARIANT_OFFSET).alias("doc_id"), "text"
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).unionByName(resubmits)
+    return incremental_new(old, new, "text", _BLOOM_M_BITS, _BLOOM_K)
+
+
+# host_rank fixture geometry: src host = doc_id % H; absolute /
+# protocol-relative / port-keeping hrefs target (doc_id*3+1) % H,
+# site-relative hrefs self-link, and mailto:/#/ftp: rows are dropped by
+# resolve_edges — every resolution branch fires, and the multigraph has
+# weighted edges, self-loops and dangling :8080 hosts.
+_LG_HOSTS = 23
+_LG_ROUNDS = 6
+
+
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host link graph + damped PageRank in exact micro-rank integers
+    (operators/linkgraph.py): deterministic cross-host links resolved by
+    resolve_edges' branch expressions, then a 6-round rank loop with the
+    dedup_components checkpoint discipline.  The oracle replays BOTH the
+    branch resolution and the unrolled rank rounds by value."""
+    from image_ocr_spark.operators.linkgraph import host_rank, resolve_edges
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    s = (F.col("doc_id") % _LG_HOSTS).cast("string")
+    t = ((F.col("doc_id") * 3 + 1) % _LG_HOSTS).cast("string")
+    dst = F.concat(F.lit("h"), t, F.lit(".example"))
+    url = F.concat(
+        F.lit("http://h"), s, F.lit(".example/p"), F.col("doc_id").cast("string")
+    )
+    k = F.col("doc_id") % 8
+    href = (
+        F.when(k == 0, F.lit("/rel/path"))
+        .when(k == 1, F.concat(F.lit("http://"), dst, F.lit("/x")))
+        .when(k == 2, F.concat(F.lit("https://"), dst, F.lit(":443/x")))
+        .when(k == 3, F.concat(F.lit("//"), dst, F.lit("/y")))
+        .when(k == 4, F.concat(F.lit("http://"), dst, F.lit(":8080/x")))
+        .when(k == 5, F.lit("mailto:a@b.example"))
+        .when(k == 6, F.lit("#frag-only"))
+        .otherwise(F.concat(F.lit("ftp://"), dst, F.lit("/x")))
+    )
+    links = d.select(url.alias("url"), href.alias("href"))
+    return host_rank(resolve_edges(links), rounds=_LG_ROUNDS)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (not just pairs): connected components over the
     MinHash+LSH pair graph via min-label propagation; every doc maps to its
@@ -1020,7 +1054,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_simhash": q_dedup_simhash,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
@@ -1038,11 +1071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_reasoning": q_classify_reasoning,
         "median_by_type": q_median_by_type,
         "receipt_tax": q_receipt_tax,
-        "receipt_warnings": q_receipt_warnings,
         "invoice_warnings": q_invoice_warnings,
         "engine_stats": q_engine_stats,
         "token_count_bpe": q_token_count_bpe,
-        "doc_fingerprints": q_doc_fingerprints,
         "fingerprint_pairs": q_fingerprint_pairs,
         "dedup_embedding": q_dedup_embedding,
         "stream_window_counts": q_stream_window_counts,
@@ -1058,6 +1089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "decontaminate": q_decontaminate,
         "token_packing": q_token_packing,
+        "lm_quality": q_lm_quality,
+        "bloom_dedup": q_bloom_dedup,
+        "host_rank": q_host_rank,
     }
 
 
@@ -1674,14 +1708,6 @@ def _sql_winnow_fps_cte(src: str) -> str:
               FROM h)"""
 
 
-def _sql_doc_fingerprints() -> str:
-    return (
-        "WITH "
-        + _sql_winnow_fps_cte("documents")
-        + " SELECT doc_id, unnest(fps) AS fp FROM f"
-    )
-
-
 def _sql_fingerprint_pairs(
     min_shared: int, max_df: int = DEFAULT_SHINGLE_MAX_DF
 ) -> str:
@@ -1862,6 +1888,88 @@ def _sql_corpus_select(min_quality: int, offset: int) -> str:
 # keywords) joined the fixture body.
 _RECEIPT_SCORES = (1250, 0)
 _INVOICE_SCORES = (0, 2295)
+
+
+def _sql_host_rank() -> str:
+    """DuckDB replay of q_host_rank: the deterministic link fixture, the
+    full resolve_edges branch CASE (every branch bit-for-bit), then the
+    rank recurrence unrolled _LG_ROUNDS times as materialized CTEs (the
+    dedup_clusters / kmeans oracle discipline).  All divisions are
+    integer `//` on BIGINTs, so ranks match Spark's `div` exactly."""
+    from image_ocr_spark.operators.linkgraph import (
+        DEFAULT_DAMPING_MILLI,
+        RANK_SCALE,
+    )
+
+    h = _LG_HOSTS
+    base = ((1000 - DEFAULT_DAMPING_MILLI) * RANK_SCALE) // 1000
+    sql = f"""
+WITH links AS (
+  SELECT 'http://h' || (doc_id % {h}) || '.example/p' || doc_id AS url,
+         CASE doc_id % 8
+           WHEN 0 THEN '/rel/path'
+           WHEN 1 THEN 'http://h' || ((doc_id * 3 + 1) % {h}) || '.example/x'
+           WHEN 2 THEN 'https://h' || ((doc_id * 3 + 1) % {h}) || '.example:443/x'
+           WHEN 3 THEN '//h' || ((doc_id * 3 + 1) % {h}) || '.example/y'
+           WHEN 4 THEN 'http://h' || ((doc_id * 3 + 1) % {h}) || '.example:8080/x'
+           WHEN 5 THEN 'mailto:a@b.example'
+           WHEN 6 THEN '#frag-only'
+           ELSE 'ftp://h' || ((doc_id * 3 + 1) % {h}) || '.example/x'
+         END AS href
+  FROM documents
+),
+resolved AS (
+  SELECT
+    CASE WHEN lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) = 'http'
+         THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':80$', '')
+         WHEN lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) = 'https'
+         THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':443$', '')
+         ELSE lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) END AS src_host,
+    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS src_scheme,
+    trim(href) AS hr
+  FROM links
+),
+branched AS (
+  SELECT src_host,
+    CASE
+      WHEN hr = '' OR lower(hr) LIKE 'mailto:%' OR lower(hr) LIKE 'javascript:%'
+           OR lower(hr) LIKE 'data:%' OR lower(hr) LIKE 'tel:%' OR hr LIKE '#%'
+        THEN NULL
+      WHEN regexp_extract(hr, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> '' THEN
+        CASE lower(regexp_extract(hr, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          WHEN 'http'  THEN regexp_replace(lower(regexp_extract(hr, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':80$', '')
+          WHEN 'https' THEN regexp_replace(lower(regexp_extract(hr, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':443$', '')
+          ELSE NULL END
+      WHEN hr LIKE '//%' THEN
+        CASE src_scheme
+          WHEN 'http'  THEN regexp_replace(lower(regexp_extract(hr, '^//([^/?#]+)', 1)), ':80$', '')
+          WHEN 'https' THEN regexp_replace(lower(regexp_extract(hr, '^//([^/?#]+)', 1)), ':443$', '')
+          ELSE lower(regexp_extract(hr, '^//([^/?#]+)', 1)) END
+      ELSE src_host END AS dst_host
+  FROM resolved
+),
+edges AS MATERIALIZED (
+  SELECT src_host AS src, dst_host AS dst FROM branched
+  WHERE dst_host IS NOT NULL AND dst_host <> '' AND src_host <> ''
+),
+w AS MATERIALIZED (SELECT src, dst, count(*)::BIGINT AS w FROM edges GROUP BY 1, 2),
+outw AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS tw FROM w GROUP BY 1),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT host FROM (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)
+),
+r0 AS MATERIALIZED (SELECT host, {RANK_SCALE}::BIGINT AS rank FROM nodes)"""
+    for t in range(_LG_ROUNDS):
+        sql += f""",
+r{t + 1} AS MATERIALIZED (
+  SELECT n.host,
+         ({base} + ({DEFAULT_DAMPING_MILLI} * coalesce(c.contrib, 0)) // 1000)::BIGINT AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT w.dst AS host, sum((r.rank * w.w) // o.tw)::BIGINT AS contrib
+    FROM w JOIN outw o ON w.src = o.src JOIN r{t} r ON w.src = r.host
+    GROUP BY w.dst
+  ) c ON n.host = c.host
+)"""
+    return sql + f"\nSELECT host, rank FROM r{_LG_ROUNDS}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2067,10 +2175,6 @@ def oracle_sql() -> dict[str, str]:
             FROM sc WHERE (1000 * inter) // un >= 500
             """
         ),
-        "simhash_fingerprints": f"""
-            WITH th AS (SELECT doc_id, {_SQL_TH} AS th FROM documents)
-            SELECT doc_id, ({_SQL_SIMHASH_EXPR})::BIGINT AS simhash FROM th
-        """,
         "dedup_simhash": (
             "WITH "
             + _SQL_CORPUS
@@ -2307,25 +2411,6 @@ def oracle_sql() -> dict[str, str]:
                 AS subtotal
             FROM documents WHERE doc_id % 10 = 6
         """,
-        "receipt_warnings": """
-            SELECT doc_id, unnest(
-              CASE doc_id % 4
-                WHEN 1 THEN [struct_pack(warn_seq := 0,
-                               warning := '日付を抽出できませんでした')]
-                WHEN 2 THEN [struct_pack(warn_seq := 0,
-                               warning := '合計金額を抽出できませんでした')]
-                WHEN 3 THEN [struct_pack(warn_seq := 0,
-                               warning := '日付を抽出できませんでした'),
-                             struct_pack(warn_seq := 1,
-                               warning := '合計金額を抽出できませんでした'),
-                             struct_pack(warn_seq := 2,
-                               warning := '店舗名を抽出できませんでした'),
-                             struct_pack(warn_seq := 3,
-                               warning := '本文を抽出できませんでした')]
-                ELSE []::STRUCT(warn_seq INTEGER, warning VARCHAR)[]
-              END, recursive := true)
-            FROM documents
-        """,
         "invoice_warnings": """
             SELECT doc_id, unnest(
               CASE doc_id % 4
@@ -2350,7 +2435,6 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0 END::BIGINT AS chars_per_bpe_milli
             FROM b
         """,
-        "doc_fingerprints": _sql_doc_fingerprints(),
         "fingerprint_pairs": _sql_fingerprint_pairs(min_shared=5),
         "dedup_embedding": _sql_dedup_embedding(
             threshold_milli=990, num_centroids=32, iters=1, nprobe=2
@@ -2399,6 +2483,53 @@ def oracle_sql() -> dict[str, str]:
                    ((tok_start + n_tok - 1) // 512)::BIGINT AS block_last
             FROM s
         """,
+        # both lmquality stages replayed: deterministic top-V vocabulary
+        # (ties broken gram-ascending) and the per-doc familiarity ratio
+        # in integer micro-units; every aggregate cast back to BIGINT
+        "lm_quality": """
+            WITH toks AS (
+              SELECT doc_id, str_split(coalesce(text, ''), ' ') AS tk
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(tk[1:len(tk)-1],
+                                           (x, i) -> x || ' ' || tk[i+1])) AS gram
+              FROM toks
+            ), vocab AS (
+              SELECT gram FROM grams GROUP BY gram
+              ORDER BY count(*) DESC, gram ASC LIMIT 512
+            ), scored AS (
+              SELECT g.doc_id,
+                     count(*) AS n_grams,
+                     count(*) FILTER (WHERE g.gram IN (SELECT gram FROM vocab))
+                       AS n_known
+              FROM grams g GROUP BY g.doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(s.n_known, 0)::BIGINT AS n_known,
+                   (CASE WHEN coalesce(s.n_grams, 0) = 0 THEN 0
+                         ELSE (1000000 * s.n_known) // s.n_grams
+                    END)::BIGINT AS familiarity_micro
+            FROM documents t LEFT JOIN scored s USING (doc_id)
+        """,
+        # exact-semantics oracle: the bloom sketch must be INVISIBLE in
+        # the result (confirm() repairs false positives), so the oracle
+        # is the plain key anti-join — equality-join semantics (NULL
+        # text never matches, same as Spark's left_anti)
+        "bloom_dedup": f"""
+            WITH old AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+            ), new AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + {VARIANT_OFFSET}, text FROM documents
+              WHERE doc_id % 4 = 0
+            )
+            SELECT n.doc_id, n.text FROM new n
+            WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)
+        """,
+        "host_rank": _sql_host_rank(),
         "decontaminate": (
             "WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), "
             + _sql_shingles("d")

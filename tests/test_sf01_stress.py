@@ -24,7 +24,6 @@ PAIR_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "doc_fingerprints",
     "fingerprint_pairs",
     "dedup_embedding",
     "dedup_substrings",  # r05: exact token-window scrub at 10x
