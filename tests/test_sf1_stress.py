@@ -295,6 +295,61 @@ r{t + 1} AS MATERIALIZED (
 
 
 @pytest.mark.skipif(not STRESS, reason="set SPARK_GRAFT_STRESS=1 (slow)")
+def test_lm_quality_at_sf1(spark, sf1, duck):
+    """CCNet-style bigram familiarity at 100x: vocabulary trained over
+    ~50k docs (deterministic top-V with gram-ascending tie-break across
+    many more distinct grams than at sf0.001) and every doc scored —
+    both stages value-identical to the DuckDB replay."""
+    from image_ocr_spark.operators.lmquality import familiarity_scores
+
+    # the replicated fixture holds only ~1.2k distinct bigrams; V must
+    # sit well below that so vocabulary membership actually partitions
+    # the grams and scores differentiate
+    vocab_size = 256
+    docs = spark.read.parquet(f"{sf1}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    t0 = time.time()
+    got = sorted(tuple(r) for r in familiarity_scores(docs, vocab_size=vocab_size).collect())
+    spark_s = time.time() - t0
+    t0 = time.time()
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"""
+WITH toks AS (
+  SELECT doc_id, str_split(coalesce(text, ''), ' ') AS tk FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(tk[1:len(tk)-1], (x, i) -> x || ' ' || tk[i+1])) AS gram
+  FROM toks
+), vocab AS (
+  SELECT gram FROM grams GROUP BY gram
+  ORDER BY count(*) DESC, gram ASC LIMIT {vocab_size}
+), scored AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         count(*) FILTER (WHERE g.gram IN (SELECT gram FROM vocab)) AS n_known
+  FROM grams g GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       coalesce(s.n_grams, 0)::BIGINT,
+       coalesce(s.n_known, 0)::BIGINT,
+       (CASE WHEN coalesce(s.n_grams, 0) = 0 THEN 0
+             ELSE (1000000 * s.n_known) // s.n_grams END)::BIGINT
+FROM documents t LEFT JOIN scored s USING (doc_id)
+"""
+        ).fetchall()
+    )
+    duck_s = time.time() - t0
+    print(
+        f"\n[sf1.0] lm_quality (V={vocab_size}): rows={len(got)} "
+        f"spark={spark_s:.1f}s oracle={duck_s:.1f}s"
+    )
+    assert got == want
+    assert len({f for *_, f in got}) > 10  # scores differentiate
+
+
+@pytest.mark.skipif(not STRESS, reason="set SPARK_GRAFT_STRESS=1 (slow)")
 def test_no_cached_relation_leaks_after_battery(spark):
     """Storage census (VERDICT r03 item 9): after the whole sf1.0 battery,
     the only persisted relations allowed are the per-(session, sf)
