@@ -717,18 +717,6 @@ def q_kmeans_batched_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(seeds, "cid long, vid long")
 
 
-def q_engine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 engine-comparison fan-out (ref gui.py:1529-1637) as a queryable
-    operator: per-engine corpus stats over the html/pdf split."""
-    ex = _extracted(spark, sf_dir)
-    return ex.groupBy("engine").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length("text").cast("long")).alias("sum_text_chars"),
-        F.count(F.col("title")).alias("n_with_title"),
-        F.sum((F.col("doc_type") != "unknown").cast("long")).alias("n_classified"),
-    )
-
-
 def q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 median (ref preprocessor.py:979-997 deskew-angle median) as exact
     percentile over event values; x2 so the interpolated midpoint stays
@@ -906,6 +894,17 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_rank(resolve_edges(links), rounds=_LG_ROUNDS)
 
 
+def q_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet selection step end to end (operators/lmquality.py):
+    familiarity-scored corpus split into head/middle/tail thirds at
+    exact corpus quantiles (distinct-value histogram, no global sort),
+    each bucket kept at its rate by the deterministic hash-threshold
+    rule — head whole, middle halved, tail decimated."""
+    from image_ocr_spark.operators.lmquality import quality_mixture
+
+    return quality_mixture(_docs(spark, sf_dir), vocab_size=512)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (not just pairs): connected components over the
     MinHash+LSH pair graph via min-label propagation; every doc maps to its
@@ -1072,7 +1071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_by_type": q_median_by_type,
         "receipt_tax": q_receipt_tax,
         "invoice_warnings": q_invoice_warnings,
-        "engine_stats": q_engine_stats,
         "token_count_bpe": q_token_count_bpe,
         "fingerprint_pairs": q_fingerprint_pairs,
         "dedup_embedding": q_dedup_embedding,
@@ -1092,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "bloom_dedup": q_bloom_dedup,
         "host_rank": q_host_rank,
+        "quality_mixture": q_quality_mixture,
     }
 
 
@@ -2530,6 +2529,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)
         """,
         "host_rank": _sql_host_rank(),
+        # CCNet selection replay: exact type-1 quantile cutoffs via a
+        # cumulative window over the familiarity histogram, bucket label
+        # by cutoff comparisons, keep rule = the corpus_mixture
+        # hash-threshold with its own 'qmix' salt
+        "quality_mixture": """
+            WITH toks AS (
+              SELECT doc_id, str_split(coalesce(text, ''), ' ') AS tk
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(tk[1:len(tk)-1],
+                                           (x, i) -> x || ' ' || tk[i+1])) AS gram
+              FROM toks
+            ), vocab AS (
+              SELECT gram FROM grams GROUP BY gram
+              ORDER BY count(*) DESC, gram ASC LIMIT 512
+            ), scored AS (
+              SELECT g.doc_id,
+                     count(*) AS n_grams,
+                     count(*) FILTER (WHERE g.gram IN (SELECT gram FROM vocab))
+                       AS n_known
+              FROM grams g GROUP BY g.doc_id
+            ), allsc AS (
+              SELECT t.doc_id,
+                     (CASE WHEN coalesce(s.n_grams, 0) = 0 THEN 0
+                           ELSE (1000000 * s.n_known) // s.n_grams
+                      END)::BIGINT AS fam
+              FROM documents t LEFT JOIN scored s USING (doc_id)
+            ), hist AS (SELECT fam AS v, count(*) AS cnt FROM allsc GROUP BY v),
+            cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS c FROM hist),
+            nn AS (SELECT count(*) AS n FROM allsc),
+            cut AS (SELECT
+              (SELECT min(v) FROM cum, nn WHERE c >= (1 * n + 2) // 3) AS c1,
+              (SELECT min(v) FROM cum, nn WHERE c >= (2 * n + 2) // 3) AS c2),
+            lab AS (
+              SELECT doc_id, fam,
+                     (list_value('tail', 'middle', 'head'))[
+                       (fam > c1)::INT + (fam > c2)::INT + 1] AS bucket
+              FROM allsc, cut)
+            SELECT doc_id, fam AS familiarity_micro, bucket FROM lab
+            WHERE ('0x' || substr(md5('qmix' || doc_id::VARCHAR), 1, 8))::BIGINT
+                  / 4294967296.0
+                  < (CASE bucket WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5
+                          WHEN 'tail' THEN 0.1 ELSE 0.0 END)
+        """,
         "decontaminate": (
             "WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), "
             + _sql_shingles("d")
@@ -2613,15 +2657,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_SQL_URL} AS url,
                    (1704067200 + (doc_id % 100000) * 60)::BIGINT AS first_ts_epoch
             FROM documents
-        """,
-        "engine_stats": _PAGE_CTE + """
-            SELECT CASE WHEN doc_id % 10 = 8 THEN 'pdf' ELSE 'html' END AS engine,
-                   count(*) AS n_docs,
-                   sum(length(text))::BIGINT AS sum_text_chars,
-                   count(title) AS n_with_title,
-                   sum(CASE WHEN doc_type <> 'unknown' THEN 1 ELSE 0 END)::BIGINT
-                     AS n_classified
-            FROM pages GROUP BY 1
         """,
         "span_right_of": """
             WITH base AS (SELECT doc_id,

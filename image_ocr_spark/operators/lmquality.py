@@ -124,3 +124,106 @@ def familiarity_scores(
     ).mapInArrow(
         score, "doc_id long, n_grams long, n_known long, familiarity_micro long"
     )
+
+
+# CCNet's three perplexity buckets, worst to best: the tail is the
+# high-perplexity (here: low-familiarity) third that CCNet downsamples
+# or drops, the head the most-fluent third it keeps whole.
+CCNET_BUCKETS = ("tail", "middle", "head")
+
+
+def quality_cutoffs(
+    scores: DataFrame, n_buckets: int = 3, score_col: str = "familiarity_micro"
+) -> list:
+    """The n_buckets-1 exact type-1 quantile cutoffs of ``score_col``:
+    cutoff_j = min{v : #(score <= v) >= ceil(j*N/n_buckets)}.
+
+    Computed from ONE histogram aggregation whose output is bounded by
+    the number of DISTINCT score values (familiarity_micro has at most
+    10^6+1) — never by N — then cumulated on the driver.  Value-based
+    (no per-row rank), so the result is independent of partitioning and
+    replayable in closed form by a DuckDB window; score ties land in one
+    bucket together (bucket masses are equal up to tie spill, the
+    standard quantile-bucketing contract)."""
+    if n_buckets < 2:
+        raise ValueError("quality_cutoffs needs n_buckets >= 2")
+    hist = sorted(
+        (r[0], r[1])
+        for r in scores.groupBy(score_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    n = sum(c for _, c in hist)
+    if n == 0:
+        raise ValueError("quality_cutoffs over an empty relation")
+    # integer ceil(j*n/n_buckets), exact at any n
+    targets = [(j * n + n_buckets - 1) // n_buckets for j in range(1, n_buckets)]
+    cutoffs, cum, ti = [], 0, 0
+    for v, c in hist:
+        cum += c
+        while ti < len(targets) and cum >= targets[ti]:
+            cutoffs.append(v)
+            ti += 1
+    return cutoffs
+
+
+def bucket_label_col(score: Column, cutoffs: list) -> Column:
+    """CCNet bucket label for a score given quality_cutoffs(..., 3):
+    index = how many cutoffs the score strictly exceeds (0 = tail)."""
+    idx = F.lit(0)
+    for c in cutoffs:
+        idx = idx + (score > F.lit(int(c))).cast("int")
+    labels = F.array(*[F.lit(b) for b in CCNET_BUCKETS])
+    return F.element_at(labels, idx + F.lit(1))
+
+
+def quality_mixture(
+    docs: DataFrame,
+    rates: Optional[dict] = None,
+    vocab: Optional[list] = None,
+    vocab_size: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "qmix",
+) -> DataFrame:
+    """The CCNet selection step end to end: score every document's
+    familiarity, split the corpus into head/middle/tail thirds at exact
+    corpus quantiles, and keep each bucket at its mixture rate via the
+    deterministic hash-threshold rule (operators/sampling.py) — the
+    fluent third kept whole, the gibberish third decimated.
+
+    Returns (doc_id, familiarity_micro, bucket) for kept rows.  Scale
+    shape: scoring is scan-stage (broadcast vocab), the cutoffs cost one
+    distinct-value histogram, and the final keep/drop is a pure per-row
+    filter — no global sort anywhere, resumable by construction.  The
+    corpus is scored twice (once into the histogram, once under the
+    filter); at 100 TB pass a pre-trained ``vocab`` and persist the
+    scored relation — or accept the second scan, it is cheaper than
+    materializing per-doc scores for a 10^12-row corpus.
+    """
+    from image_ocr_spark.operators.sampling import HASH_SPACE
+    from image_ocr_spark.operators.dedup import hash32
+
+    if rates is None:
+        rates = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+    if not set(rates) <= set(CCNET_BUCKETS):
+        raise ValueError(f"rates keys must be among {CCNET_BUCKETS}")
+    if vocab is None:
+        vocab = [
+            r.gram
+            for r in train_bigram_vocab(docs, vocab_size, text_col).collect()
+        ]
+    scores = familiarity_scores(docs, vocab, vocab_size, id_col, text_col)
+    cutoffs = quality_cutoffs(scores, len(CCNET_BUCKETS))
+    labeled = scores.select(
+        "doc_id",
+        "familiarity_micro",
+        bucket_label_col(F.col("familiarity_micro"), cutoffs).alias("bucket"),
+    )
+    u = hash32(F.concat(F.lit(salt), F.col("doc_id").cast("string"))) / F.lit(
+        HASH_SPACE
+    )
+    rate = F.lit(0.0)
+    for b, r in sorted(rates.items()):
+        rate = F.when(F.col("bucket") == b, F.lit(float(r))).otherwise(rate)
+    return labeled.filter(u < rate)
