@@ -69,30 +69,40 @@ def release_rank_checkpoints(spark) -> None:
 
 
 def extract_links(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    with_text: bool = False,
 ) -> DataFrame:
-    """(url, href) — one row per anchor with a non-empty href, in
-    document order.  One Arrow pass over (url, html); everything else is
-    pruned before the Python boundary (the fat-column discipline of the
-    tokenizer)."""
+    """(url, href[, anchor]) — one row per anchor with a non-empty href,
+    in document order; with_text=True adds the anchor's visible text
+    (pycore find_links window semantics).  One Arrow pass over
+    (url, html); everything else is pruned before the Python boundary
+    (the fat-column discipline of the tokenizer)."""
+    from image_ocr_spark.pycore.links import find_links
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             urls = batch.column(0).to_pylist()
             htmls = batch.column(1).to_pylist()
-            out_url, out_href = [], []
+            out_url, out_href, out_text = [], [], []
             for u, h in zip(urls, htmls):
-                for href in find_hrefs(h or b""):
+                for href, text in find_links(h or b""):
                     out_url.append(u)
                     out_href.append(href)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(out_url, pa.string()), pa.array(out_href, pa.string())],
-                ["url", "href"],
-            )
+                    if with_text:
+                        out_text.append(text)
+            cols = [pa.array(out_url, pa.string()), pa.array(out_href, pa.string())]
+            names = ["url", "href"]
+            if with_text:
+                cols.append(pa.array(out_text, pa.string()))
+                names.append("anchor")
+            yield pa.RecordBatch.from_arrays(cols, names)
 
+    schema = "url string, href string" + (", anchor string" if with_text else "")
     return pages.select(
         F.col(url_col).alias("url"), F.col(html_col).alias("html")
-    ).mapInArrow(run, "url string, href string")
+    ).mapInArrow(run, schema)
 
 
 def _strip_default_port(hostport: Column, scheme: Column) -> Column:
@@ -106,7 +116,10 @@ def _strip_default_port(hostport: Column, scheme: Column) -> Column:
 
 
 def resolve_edges(
-    links: DataFrame, url_col: str = "url", href_col: str = "href"
+    links: DataFrame,
+    url_col: str = "url",
+    href_col: str = "href",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """(src_host, dst_host) per link — pure per-row string expressions
     (scan stage, shuffle-free, DuckDB-replayable).
@@ -163,6 +176,7 @@ def resolve_edges(
             F.when(dropped, F.lit(None).cast("string")).otherwise(dst).alias(
                 "dst_host"
             ),
+            *[F.col(c) for c in keep_cols],
         )
         .filter(
             F.col("dst_host").isNotNull()
@@ -239,3 +253,50 @@ def host_rank(
     if prev_id is not None:
         _RANK_CKPT_IDS.add(prev_id)
     return r
+
+
+def anchor_term_stats(
+    pages: DataFrame,
+    k: int = 5,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(dst_host, term, cnt, rank) — the top-k incoming anchor-text terms
+    per target host, the classic "what the web calls this site" curation
+    signal (anchor text is how link-based quality priors describe a
+    target; cf. the anchor-text features of web search ranking and the
+    link-text corpora distilled from Common Crawl).
+
+    Scale shape: link+text extraction rides the scan (one Arrow pass),
+    edge resolution is per-row expressions with the anchor column
+    carried through, and the counting is ONE (dst_host, term) shuffle
+    with map-side combine — hot terms collapse per map partition before
+    moving.  The final top-k is a per-host window over the already
+    aggregated (host, term) relation, which is |hosts| * |distinct
+    terms| — web-vocabulary sized, not corpus sized.
+
+    Terms are exact-space tokens of the anchor text (empties dropped),
+    unfolded — the established cross-engine-identical tokenization;
+    rank ties break term-ascending so the relation is deterministic.
+    """
+    from pyspark.sql import Window
+
+    links = extract_links(pages, url_col, html_col, with_text=True)
+    edges = resolve_edges(links, keep_cols=("anchor",))
+    terms = (
+        edges.select(
+            "dst_host",
+            F.explode(F.split(F.col("anchor"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("dst_host", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("cnt"), F.asc("term")
+    )
+    return (
+        terms.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("dst_host", "term", "cnt", F.col("rank").cast("long"))
+    )

@@ -263,3 +263,189 @@ def test_pages_to_rank_end_to_end(spark, documents):
     assert len(ranks) > 0
     assert all(r.rank > 0 for r in ranks)
     release_rank_checkpoints(spark)
+
+
+# ----------------------------------------------------------- anchor text
+
+
+def test_find_links_semantics():
+    from image_ocr_spark.pycore.links import ANCHOR_TEXT_MAX, find_links
+
+    html = (
+        b"<html><body>"
+        b"<a href='/a'>plain text</a>"
+        b"<a href='/b'>with <b>inner</b> <i>markup</i></a>"
+        b"<a href='/c'>  spaced \n out  </a>"
+        b"<a href='/d'><img src='x.png'></a>"
+        b"<a href='/e'>outer <a href='/f'>inner</a></a>"
+        b"<a href='/g'>never closed"
+        b"</body></html>"
+    )
+    links = find_links(html)
+    assert [h for h, _ in links] == ["/a", "/b", "/c", "/d", "/e", "/f", "/g"]
+    texts = dict(links)
+    assert texts["/a"] == "plain text"
+    assert texts["/b"] == "with inner markup"  # tags stripped, ws collapsed
+    assert texts["/c"] == "spaced out"
+    assert texts["/d"] == ""  # image-only anchor
+    # overlapping (illegal-HTML) anchors each read to their nearest
+    # close; the inner open tag is stripped as markup, so the outer
+    # anchor's text includes the inner's — deterministic, documented
+    assert texts["/e"] == "outer inner"
+    assert texts["/f"] == "inner"
+    assert texts["/g"] == ""  # unclosed to EOF -> no text
+    # window cap: a close beyond ANCHOR_TEXT_MAX truncates, and a tag cut
+    # mid-way by the cap does not leak into the text
+    far = b"<a href='/far'>" + b"word " * 200 + b"<img src='y'></a>"
+    (href, text), = find_links(far)
+    assert href == "/far"
+    assert len(text) <= ANCHOR_TEXT_MAX
+    assert "<" not in text and text.startswith("word word")
+
+
+def test_find_hrefs_unchanged_by_text_extraction():
+    """find_hrefs delegates to find_links: href extraction is literally
+    the same scan (regression pin for the r05 refactor)."""
+    html = (
+        b"<a href='/one'>1</a><A HREF=\"http://x.com/two\">2</A>"
+        b"<a class='z' href=bare/three>3</a><a name='nohref'>4</a>"
+    )
+    assert find_hrefs(html) == ["/one", "http://x.com/two", "bare/three"]
+
+
+def test_extract_links_with_text_matches_pycore(spark, documents):
+    from image_ocr_spark.operators.generate import generate_pages
+    from image_ocr_spark.operators.linkgraph import extract_links
+    from image_ocr_spark.pycore.links import find_links
+
+    pages = generate_pages(documents.limit(150))
+    got = {}
+    for r in extract_links(pages, with_text=True).collect():
+        got.setdefault(r.url, []).append((r.href, r.anchor))
+    want = {}
+    for r in pages.select("url", "html").collect():
+        links = find_links(r.html or b"")
+        if links:
+            want[r.url] = links
+    assert got == want
+
+
+ANCHOR_LINK_ROWS = [
+    # (src url, href, anchor text) — term counting across resolution branches
+    ("http://s1.example/p", "http://t.example/x", "great docs"),
+    ("http://s1.example/p", "https://t.example:443/y", "great api"),
+    ("http://s2.example/p", "//t.example/z", "docs"),
+    ("http://s2.example/p", "/local", "self link"),
+    ("http://s2.example/p", "mailto:a@b.c", "dropped entirely"),
+    ("http://s3.example/p", "http://t.example/w", "great"),
+    ("http://s3.example/p", "http://t.example/v", ""),
+]
+
+
+def test_anchor_term_stats_counting_matches_oracle(spark):
+    """The counting+ranking half on literal links: resolve with anchor
+    passthrough, one (host, term) count, per-host top-k with the
+    deterministic tie-break — replayed by DuckDB by value."""
+    from image_ocr_spark.operators.linkgraph import resolve_edges
+    from pyspark.sql import Window
+
+    links = spark.createDataFrame(
+        ANCHOR_LINK_ROWS, "url string, href string, anchor string"
+    )
+    edges = resolve_edges(links, keep_cols=("anchor",))
+    terms = (
+        edges.select("dst_host", F.explode(F.split("anchor", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("dst_host", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(F.desc("cnt"), F.asc("term"))
+    got = sorted(
+        tuple(r)
+        for r in terms.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("dst_host", "term", "cnt", F.col("rank").cast("long"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW links AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{u}', '{h}', '{a}')" for u, h, a in ANCHOR_LINK_ROWS)
+        + ") t(url, href, anchor)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+WITH resolved AS (
+  SELECT lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS src_host,
+         trim(href) AS h, anchor
+  FROM links
+), branched AS (
+  SELECT CASE
+      WHEN h = '' OR lower(h) LIKE 'mailto:%' OR h LIKE '#%' THEN NULL
+      WHEN regexp_extract(h, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> ''
+        THEN regexp_replace(lower(regexp_extract(h, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(80|443)$', '')
+      WHEN h LIKE '//%' THEN lower(regexp_extract(h, '^//([^/?#]+)', 1))
+      ELSE src_host END AS dst_host,
+    anchor
+  FROM resolved
+), terms AS (
+  SELECT dst_host, unnest(string_split(anchor, ' ')) AS term FROM branched
+  WHERE dst_host IS NOT NULL
+), counted AS (
+  SELECT dst_host, term, count(*)::BIGINT AS cnt FROM terms
+  WHERE term <> '' GROUP BY 1, 2
+)
+SELECT dst_host, term, cnt,
+       row_number() OVER (PARTITION BY dst_host ORDER BY cnt DESC, term ASC)::BIGINT
+         AS rank
+FROM counted QUALIFY rank <= 2
+"""
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    # the aggregate signal: t.example's dominant incoming term is 'great'
+    top = {(h, r): t for h, t, _, r in got}
+    assert top[("t.example", 1)] == "great"
+
+
+def test_anchor_term_stats_end_to_end(spark, documents):
+    """Full chain over fixture pages: every reported term must actually
+    appear in some page's anchor text (pycore recount), ranks are
+    contiguous from 1, and counts are positive."""
+    from image_ocr_spark.operators.generate import generate_pages
+    from image_ocr_spark.operators.linkgraph import anchor_term_stats
+    from image_ocr_spark.pycore.links import find_links
+
+    pages = generate_pages(documents.limit(100))
+    rows = anchor_term_stats(pages, k=3).collect()
+    assert rows
+    seen_terms = set()
+    for r in pages.select("html").collect():
+        for _, text in find_links(r.html or b""):
+            seen_terms.update(t for t in text.split(" ") if t)
+    by_host = {}
+    for r in rows:
+        assert r.cnt > 0
+        assert r.term in seen_terms
+        by_host.setdefault(r.dst_host, []).append(r.rank)
+    for host, ranks in by_host.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), host
+
+
+def test_find_links_linear_on_hostile_many_anchors():
+    """20k href anchors sharing ONE distant close tag: the memoized
+    next-close pointer keeps the scan O(n) (a naive per-anchor find
+    would be O(k*n) ~ 10^9 char touches here)."""
+    import time
+
+    from image_ocr_spark.pycore.links import find_links
+
+    raw = b"<a href='/x'>t " * 20000 + b"</a>"
+    t0 = time.time()
+    links = find_links(raw)
+    elapsed = time.time() - t0
+    assert len(links) == 20000
+    assert elapsed < 3.0, elapsed
