@@ -300,3 +300,40 @@ def anchor_term_stats(
         .filter(F.col("rank") <= k)
         .select("dst_host", "term", "cnt", F.col("rank").cast("long"))
     )
+
+
+def robots_flags(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, robots_noindex, robots_nofollow) per page — the meta-robots
+    gate (pycore/robots.py) as a scan-stage relation: corpus builders
+    left_anti the noindex urls out before extraction, and the link graph
+    drops a nofollow page's out-edges before resolve_edges (see
+    tests/test_linkgraph.py for both compositions).
+
+    Kept as a slim per-page flags relation (url + 2 booleans) rather
+    than flags-on-pages so the fat html column crosses the Python
+    boundary only here; in a production pipeline the same pycore call
+    folds into the tokenizer's existing Arrow pass — one decode per page
+    total."""
+    from image_ocr_spark.pycore.robots import page_robots
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
+            ni, nf = [], []
+            for h in htmls:
+                a, b = page_robots(h or b"")
+                ni.append(a)
+                nf.append(b)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(ni), pa.array(nf)],
+                ["url", "robots_noindex", "robots_nofollow"],
+            )
+
+    return pages.select(
+        F.col(url_col).alias("url"), F.col(html_col).alias("html")
+    ).mapInArrow(
+        run, "url string, robots_noindex boolean, robots_nofollow boolean"
+    )

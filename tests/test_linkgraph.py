@@ -449,3 +449,108 @@ def test_find_links_linear_on_hostile_many_anchors():
     elapsed = time.time() - t0
     assert len(links) == 20000
     assert elapsed < 3.0, elapsed
+
+
+# ------------------------------------------------------------ meta-robots
+
+
+def test_page_robots_semantics():
+    from image_ocr_spark.pycore.robots import page_robots
+
+    cases = [
+        (b"<html><head></head><body>x</body></html>", (False, False)),
+        (b"<meta name='robots' content='noindex'>", (True, False)),
+        (b'<META NAME="ROBOTS" CONTENT="NOFOLLOW">', (False, True)),
+        (b"<meta name=robots content=none>", (True, True)),
+        (b"<meta name='robots' content=' noindex , nofollow '>", (True, True)),
+        (b"<meta name='robots' content='all'>", (False, False)),
+        (b"<meta name='robots' content='noarchive, nosnippet'>", (False, False)),
+        # multiple metas OR together (restrictive union)
+        (
+            b"<meta name='robots' content='noindex'>"
+            b"<meta name='robots' content='nofollow'>",
+            (True, True),
+        ),
+        # other meta names never fire
+        (b"<meta name='googlebot' content='noindex'>", (False, False)),
+        (b"<meta charset='utf-8'><meta name='viewport' content='x'>", (False, False)),
+        # commented-out meta is stripped before scanning
+        (b"<!-- <meta name='robots' content='noindex'> -->", (False, False)),
+        # content before name, bare values, self-closing
+        (b"<meta content='noindex' name='robots' />", (True, False)),
+    ]
+    for raw, want in cases:
+        assert page_robots(raw) == want, raw
+
+
+def test_page_robots_never_raises_on_garbage():
+    from image_ocr_spark.pycore.robots import page_robots
+
+    for raw in (b"", b"\xff\xfe\x00garbage", b"<meta name=", b"<" * 4096):
+        assert page_robots(raw) == (False, False)
+
+
+ROBOTS_PAGES = [
+    ("http://a.example/keep", b"<html><body><a href='/x'>link</a></body></html>"),
+    (
+        "http://a.example/noindex",
+        b"<html><head><meta name='robots' content='noindex'></head>"
+        b"<body><a href='/y'>link</a></body></html>",
+    ),
+    (
+        "http://b.example/nofollow",
+        b"<html><head><meta name='robots' content='nofollow'></head>"
+        b"<body><a href='http://t.example/z'>out</a></body></html>",
+    ),
+    (
+        "http://b.example/none",
+        b"<html><head><meta name='robots' content='none'></head>"
+        b"<body><a href='/w'>link</a></body></html>",
+    ),
+]
+
+
+def test_robots_flags_matches_pycore_and_composes(spark):
+    """Spark flags == pycore per page; the two compositions the operator
+    exists for: noindex pages drop out of the corpus, nofollow (and
+    none) pages contribute zero link-graph edges."""
+    from image_ocr_spark.operators.linkgraph import robots_flags
+    from image_ocr_spark.pycore.robots import page_robots
+
+    pages = spark.createDataFrame(ROBOTS_PAGES, "url string, html binary")
+    flags = robots_flags(pages)
+    got = {r.url: (r.robots_noindex, r.robots_nofollow) for r in flags.collect()}
+    want = {u: page_robots(h) for u, h in ROBOTS_PAGES}
+    assert got == want
+
+    # corpus gate: anti-join the noindex urls
+    kept = pages.join(
+        flags.filter(F.col("robots_noindex")).select("url"),
+        on="url",
+        how="left_anti",
+    )
+    assert {r.url for r in kept.collect()} == {
+        "http://a.example/keep",
+        "http://b.example/nofollow",
+    }
+
+    # link-graph gate: drop nofollow pages' out-edges before resolution
+    followable = pages.join(
+        flags.filter(F.col("robots_nofollow")).select("url"),
+        on="url",
+        how="left_anti",
+    )
+    edges = resolve_edges(extract_links(followable)).collect()
+    srcs = {r.src_host for r in edges}
+    assert srcs == {"a.example"}  # both b.example pages are nofollow/none
+
+
+def test_robots_flags_plan_is_scan_stage(spark):
+    from image_ocr_spark.operators.linkgraph import robots_flags
+
+    pages = spark.createDataFrame(ROBOTS_PAGES, "url string, html binary")
+    plan = (
+        robots_flags(pages)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
