@@ -49,7 +49,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from image_ocr_spark.operators.dedup import _ckpt_rdd_id, _unpersist_rdd_ids
-from image_ocr_spark.pycore.links import find_hrefs
+from image_ocr_spark.pycore.links import find_links
 
 DEFAULT_ROUNDS = 8
 DEFAULT_DAMPING_MILLI = 850
@@ -79,7 +79,6 @@ def extract_links(
     (pycore find_links window semantics).  One Arrow pass over
     (url, html); everything else is pruned before the Python boundary
     (the fat-column discipline of the tokenizer)."""
-    from image_ocr_spark.pycore.links import find_links
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:

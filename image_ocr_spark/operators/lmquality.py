@@ -201,18 +201,14 @@ def quality_mixture(
     scored relation — or accept the second scan, it is cheaper than
     materializing per-doc scores for a 10^12-row corpus.
     """
-    from image_ocr_spark.operators.sampling import HASH_SPACE
-    from image_ocr_spark.operators.dedup import hash32
+    from image_ocr_spark.operators.sampling import sample_mixture
 
     if rates is None:
         rates = {"head": 1.0, "middle": 0.5, "tail": 0.1}
     if not set(rates) <= set(CCNET_BUCKETS):
         raise ValueError(f"rates keys must be among {CCNET_BUCKETS}")
-    if vocab is None:
-        vocab = [
-            r.gram
-            for r in train_bigram_vocab(docs, vocab_size, text_col).collect()
-        ]
+    # vocab=None falls back inside familiarity_scores (single source of
+    # truth for the training path); both uses below share ONE scores plan
     scores = familiarity_scores(docs, vocab, vocab_size, id_col, text_col)
     cutoffs = quality_cutoffs(scores, len(CCNET_BUCKETS))
     labeled = scores.select(
@@ -220,10 +216,6 @@ def quality_mixture(
         "familiarity_micro",
         bucket_label_col(F.col("familiarity_micro"), cutoffs).alias("bucket"),
     )
-    u = hash32(F.concat(F.lit(salt), F.col("doc_id").cast("string"))) / F.lit(
-        HASH_SPACE
+    return sample_mixture(
+        labeled, rates, group_col="bucket", id_col="doc_id", salt=salt
     )
-    rate = F.lit(0.0)
-    for b, r in sorted(rates.items()):
-        rate = F.when(F.col("bucket") == b, F.lit(float(r))).otherwise(rate)
-    return labeled.filter(u < rate)

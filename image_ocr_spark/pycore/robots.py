@@ -30,11 +30,15 @@ from typing import Tuple
 from image_ocr_spark.pycore.htmltok import _COMMENT_RE, _DECL_RE, decode_html
 
 _META_TAG_RE = re.compile(r"<[Mm][Ee][Tt][Aa](?=[\s/>])[^>]*>")
+# the (?<![\w-]) boundary keeps the attribute match off other attributes'
+# suffixes (data-name= / data-content= must not count — r05 review fix)
 _NAME_RE = re.compile(
-    r"""name\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.IGNORECASE
+    r"""(?<![\w-])name\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""",
+    re.IGNORECASE,
 )
 _CONTENT_RE = re.compile(
-    r"""content\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.IGNORECASE
+    r"""(?<![\w-])content\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""",
+    re.IGNORECASE,
 )
 
 

@@ -554,3 +554,35 @@ def test_robots_flags_plan_is_scan_stage(spark):
     )
     assert "Exchange" not in plan
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+
+
+def test_find_links_close_tag_name_boundary():
+    """r05 review regression: </abbr> (and any other a-prefixed close
+    tag) must NOT end an anchor's text, and data-href= must not count as
+    an href attribute."""
+    from image_ocr_spark.pycore.links import find_links
+
+    (href, text), = find_links(
+        b"<a href='/x'>read the <abbr>REP</abbr> spec today</a>"
+    )
+    assert (href, text) == ("/x", "read the REP spec today")
+    assert find_links(b"<a data-href='/wrong'>t</a>") == []
+    (href2, _), = find_links(b"<a data-href='/wrong' href='/right'>t</a>")
+    assert href2 == "/right"
+
+
+def test_page_robots_attribute_name_boundary():
+    """r05 review regression: data-name=/data-content= never count as
+    the robots name/content attributes."""
+    from image_ocr_spark.pycore.robots import page_robots
+
+    assert page_robots(b"<meta data-name='robots' content='noindex'>") == (
+        False,
+        False,
+    )
+    assert page_robots(
+        b"<meta data-name='x' name='robots' content='noindex'>"
+    ) == (True, False)
+    assert page_robots(
+        b"<meta name='robots' data-content='all' content='nofollow'>"
+    ) == (False, True)

@@ -190,7 +190,7 @@ def test_quality_buckets_are_thirds_and_ordered(spark, documents):
     assert set(by) == {"tail", "middle", "head"}
     for b, vals in by.items():
         assert n // 6 <= len(vals) <= 2 * n // 3 + 1, (b, len(vals))
-    assert max(by["tail"]) <= min(by["middle"]) or not by["middle"]
+    assert not by["middle"] or max(by["tail"]) <= min(by["middle"])
     assert max(by["middle"]) <= min(by["head"])
     assert sum(by["head"]) / len(by["head"]) > sum(by["tail"]) / len(by["tail"])
 
