@@ -554,6 +554,54 @@ def q_span_below(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2 spatial span joins in one driver row (get_text_right_of /
+    get_text_below, ref engines/base.py:127-175): the two directional
+    nearest-neighbor picks share the range-self-join + min_by shape, so
+    they verify as one union with a `rel` discriminator (r05: merged to
+    free a registry slot for warc_ingest; each leg keeps its own pytest
+    coverage via this row's oracle legs)."""
+    right = q_span_right_of(spark, sf_dir).select(
+        "doc_id", F.lit("right_of").alias("rel"), F.col("value")
+    )
+    below = q_span_below(spark, sf_dir).select(
+        "doc_id", F.lit("below").alias("rel"), F.col("below_line").alias("value")
+    )
+    return right.unionByName(below)
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest boundary (beyond-reference source, SURVEY §2.1): pages
+    are serialized into Common-Crawl-layout `.warc.gz` chunk bytes
+    (per-record gzip members + warcinfo header, pycore/warc.py, ISO
+    28500) and parsed back scan-stage-only (operators/warcsource.py);
+    each parsed record joins its source page to prove the roundtrip —
+    `ok` = byte-identical payload AND preserved timestamp second.  The
+    oracle replays url / warc_ts / sniffed content type from the
+    generative formulas with ok=1, so value equality certifies a
+    lossless ingest path end to end."""
+    from image_ocr_spark.operators.generate import generate_pages
+    from image_ocr_spark.operators.warcsource import pages_to_warc, read_warc
+
+    pages = generate_pages(_docs(spark, sf_dir))
+    recs = read_warc(pages_to_warc(pages))
+    joined = recs.alias("r").join(
+        pages.alias("p"), F.col("r.url") == F.col("p.url"), "inner"
+    )
+    return joined.select(
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("r.url").alias("url"),
+        F.col("r.warc_ts").alias("warc_ts_s"),
+        F.col("r.content_type").alias("content_type"),
+        (
+            (F.col("r.payload") == F.col("p.html"))
+            & (F.col("r.warc_ts") == F.col("p.warc_ts").cast("long"))
+        )
+        .cast("long")
+        .alias("ok"),
+    )
+
+
 def q_classify_reasoning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F25 reasoning string: winner label + integer-percent confidence +
     top-5 matched keywords (ref classifier.py:247-259)."""
@@ -1058,7 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
-        "span_right_of": q_span_right_of,
+        "span_neighbors": q_span_neighbors,
         "invoice_items": q_invoice_items,
         "media_features": q_media_features,
         "media_pixel_features": q_media_pixel_features,
@@ -1066,7 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "corpus_mixture": q_corpus_mixture,
         "label_spans": q_label_spans,
-        "span_below": q_span_below,
+        "warc_ingest": q_warc_ingest,
         "classify_reasoning": q_classify_reasoning,
         "median_by_type": q_median_by_type,
         "receipt_tax": q_receipt_tax,
@@ -2376,12 +2424,14 @@ def oracle_sql() -> dict[str, str]:
                        200))::BIGINT AS quality_score
             FROM b
         """,
-        "span_below": """
+        "warc_ingest": f"""
             SELECT doc_id,
-                   printf('合計 ¥%d',
-                          450 + (doc_id % 10) * 20 + ((doc_id // 10) % 10) * 10)
-                     AS below_line
-            FROM documents WHERE doc_id % 10 = 6
+                   {_SQL_URL} AS url,
+                   (1704067200 + (doc_id % 100000) * 60)::BIGINT AS warc_ts_s,
+                   CASE WHEN doc_id % 10 = 8 THEN 'application/pdf'
+                        ELSE 'text/html' END AS content_type,
+                   1::BIGINT AS ok
+            FROM documents
         """,
         "classify_reasoning": """
             SELECT doc_id,
@@ -2658,7 +2708,7 @@ def oracle_sql() -> dict[str, str]:
                    (1704067200 + (doc_id % 100000) * 60)::BIGINT AS first_ts_epoch
             FROM documents
         """,
-        "span_right_of": """
+        "span_neighbors": """
             WITH base AS (SELECT doc_id,
                                  string_split(coalesce(text, ''), ' ') AS ts
                           FROM documents),
@@ -2672,7 +2722,14 @@ def oracle_sql() -> dict[str, str]:
                  cand AS (SELECT t.doc_id, kw.kpos, t.tok, t.pos
                           FROM kw JOIN toks t ON kw.doc_id = t.doc_id
                           WHERE t.pos > kw.kpos AND t.pos - kw.kpos <= 3)
-            SELECT doc_id, kpos, arg_min(tok, pos - kpos) AS value
+            SELECT doc_id, 'right_of' AS rel,
+                   arg_min(tok, pos - kpos) AS value
             FROM cand GROUP BY doc_id, kpos
+            UNION ALL
+            SELECT doc_id, 'below' AS rel,
+                   printf('合計 ¥%d',
+                          450 + (doc_id % 10) * 20 + ((doc_id // 10) % 10) * 10)
+                     AS value
+            FROM documents WHERE doc_id % 10 = 6
         """,
     }

@@ -93,3 +93,36 @@ def run_ingest(
         query.awaitTermination()
         return query
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# WARC-segment streaming (the SURVEY §7 stretch, closed r05): the crawl's
+# rawest arriving unit is a `.warc.gz` segment, not a pages partition.
+# ---------------------------------------------------------------------------
+WARC_CHUNK_SCHEMA = "chunk binary, n_records long"
+
+
+def stream_warc_chunks(
+    spark: SparkSession,
+    chunks_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Micro-batch over a growing directory of WARC chunk rows -> page
+    records `(url, warc_ts timestamp, content_type, payload)`.
+
+    The per-batch transform is the SAME scan-stage mapInArrow parser the
+    batch path uses (operators/warcsource.read_warc — one code path, two
+    execution modes, the stream_pages discipline), so a record parses
+    byte-identically whether the segment arrived in a backfill or a tail.
+    ``warc_ts`` is cast to timestamp here because the streaming consumers
+    watermark on it (windowed counts, stateful dedup) — late/replayed
+    segments carry their original capture times, which is exactly what a
+    capture-time watermark needs.
+    """
+    from ..operators.warcsource import read_warc
+
+    reader = spark.readStream.schema(WARC_CHUNK_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    records = read_warc(reader.parquet(chunks_dir))
+    return records.withColumn("warc_ts", F.timestamp_seconds("warc_ts"))

@@ -1,0 +1,238 @@
+"""WARC ingest boundary: pycore spec parser + Spark source operators.
+
+The from-scratch writer/parser (pycore/warc.py, ISO 28500 / WARC 1.1
+layout as Common Crawl ships it) must roundtrip page rows byte-
+identically through `.warc.gz` chunk bytes, skip non-response records,
+quarantine corrupt tails without raising, and stay scan-stage-only on
+the Spark side (entry:warc_ingest is the driver-checked composition).
+"""
+
+import zlib
+
+from pyspark.sql import functions as F
+
+from image_ocr_spark.pycore.warc import (
+    build_response_record,
+    build_warc_gz,
+    build_warcinfo_record,
+    gzip_member,
+    parse_warc,
+)
+
+
+def _sample_records():
+    payloads = [
+        b"<html><body>WARC/1.1\r\n\r\nnot a boundary</body></html>",
+        "日本語のページ本文".encode("utf-8"),
+        b"%PDF-1.4 fake pdf bytes",
+        b"",
+    ]
+    recs = [build_warcinfo_record(1704067200, {"software": "test"})]
+    expected = []
+    for i, p in enumerate(payloads):
+        url = f"https://h{i}.example.net/p/{i}"
+        ts = 1704067200 + 60 * i
+        ct = "application/pdf" if p[:5] == b"%PDF-" else "text/html"
+        recs.append(build_response_record(url, ts, p, ct))
+        expected.append((url, ts, ct, p))
+    return recs, expected
+
+
+def test_roundtrip_plain_and_gz():
+    recs, expected = _sample_records()
+    for blob in (b"".join(recs), build_warc_gz(recs)):
+        out = parse_warc(blob)
+        assert out["skipped"] == 1 and out["truncated"] is False
+        got = [
+            (r["url"], r["warc_ts"], r["content_type"], r["payload"])
+            for r in out["records"]
+        ]
+        assert got == expected  # byte-identical payloads, exact ts/ct
+
+
+def test_payload_framing_is_length_driven():
+    """A payload full of record-boundary lookalikes must parse whole: the
+    envelope Content-Length, not pattern search, frames the block."""
+    evil = b"\r\n\r\nWARC/1.1\r\nWARC-Type: response\r\n\r\n" * 3
+    rec = build_response_record("https://x.example.net/p/0", 1704067200, evil)
+    out = parse_warc(rec)
+    assert out["truncated"] is False and len(out["records"]) == 1
+    assert out["records"][0]["payload"] == evil
+
+
+def test_gzip_members_are_deterministic_and_seekable():
+    recs, _ = _sample_records()
+    gz = build_warc_gz(recs)
+    assert gz == build_warc_gz(recs)  # mtime=0: byte-determinism
+    # per-record members: each decompresses independently (CC seekability)
+    rest, members = gz, 0
+    while rest:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        assert d.decompress(rest) == recs[members]
+        rest, members = d.unused_data, members + 1
+    assert members == len(recs)
+
+
+def test_truncated_tail_quarantined_not_raised():
+    recs, expected = _sample_records()
+    plain, gz = b"".join(recs), build_warc_gz(recs)
+    for blob in (plain[: len(plain) - 30], gz[: len(gz) - 10]):
+        out = parse_warc(blob)
+        assert out["truncated"] is True
+        got = [
+            (r["url"], r["warc_ts"], r["content_type"], r["payload"])
+            for r in out["records"]
+        ]
+        assert got == expected[: len(got)]  # clean prefix, no garbage row
+    assert parse_warc(b"")["records"] == []
+    assert parse_warc(b"garbage")["truncated"] is True
+
+
+def test_non_response_records_skipped():
+    req = (
+        b"WARC/1.1\r\nWARC-Type: request\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"WARC-Record-ID: <urn:uuid:0>\r\nContent-Length: 4\r\n\r\nGET \r\n\r\n"
+    )
+    rec = build_response_record("https://x.example.net/p/1", 1704067260, b"ok")
+    out = parse_warc(req + rec)
+    assert out["skipped"] == 1 and len(out["records"]) == 1
+    assert out["records"][0]["payload"] == b"ok"
+
+
+def test_single_member_helper_matches_builder():
+    rec = build_response_record("https://x.example.net/p/2", 1704067320, b"x")
+    assert gzip_member(rec) == build_warc_gz([rec])
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+def test_spark_roundtrip_byte_identity(spark, documents):
+    """pages -> .warc.gz chunks -> records: every html byte-identical,
+    every warc_ts second and sniffed content type preserved."""
+    from image_ocr_spark.operators.generate import generate_pages
+    from image_ocr_spark.operators.warcsource import pages_to_warc, read_warc
+
+    pages = generate_pages(documents.limit(300)).persist()
+    try:
+        n_pages = pages.count()
+        recs = read_warc(pages_to_warc(pages, max_chunk_bytes=64 << 10))
+        joined = (
+            recs.alias("r")
+            .join(pages.alias("p"), F.col("r.url") == F.col("p.url"), "full_outer")
+            .select(
+                F.col("r.url").alias("r_url"),
+                F.col("p.url").alias("p_url"),
+                (F.col("r.payload") == F.col("p.html")).alias("same_bytes"),
+                (F.col("r.warc_ts") == F.col("p.warc_ts").cast("long")).alias(
+                    "same_ts"
+                ),
+                F.col("r.content_type").alias("ct"),
+                F.col("p.kind").alias("kind"),
+            )
+        )
+        rows = joined.collect()
+        assert len(rows) == n_pages
+        for r in rows:
+            assert r.r_url is not None and r.p_url is not None  # no loss, no extras
+            assert r.same_bytes and r.same_ts, r.r_url
+            assert r.ct == ("application/pdf" if r.kind == "pdf" else "text/html")
+    finally:
+        pages.unpersist()
+
+
+def test_spark_chunk_stats_and_bounds(spark, documents):
+    """Chunks respect the payload byte bound; stats rows count records and
+    report clean (untruncated) parses; corrupt chunk quarantined."""
+    from image_ocr_spark.operators.generate import generate_pages
+    from image_ocr_spark.operators.warcsource import (
+        pages_to_warc,
+        read_warc_stats,
+    )
+
+    pages = generate_pages(documents.limit(200))
+    chunks = pages_to_warc(pages, max_chunk_bytes=16 << 10).persist()
+    try:
+        stats = read_warc_stats(chunks).collect()
+        metas = chunks.select("n_records", F.length("chunk").alias("sz")).collect()
+        assert sum(s.n_records for s in stats) == pages.count()
+        assert all(s.n_skipped == 1 for s in stats)  # exactly the warcinfo
+        assert all(s.truncated is False for s in stats)
+        assert [s.n_records for s in stats] == [m.n_records for m in metas]
+        # corrupt tail: clean prefix survives, truncated flag raised
+        blob = bytearray(chunks.limit(1).collect()[0].chunk)
+        bad = spark.createDataFrame([(bytes(blob[: len(blob) // 2]),)], "chunk binary")
+        s = read_warc_stats(bad).collect()[0]
+        assert s.truncated is True
+    finally:
+        chunks.unpersist()
+
+
+def test_spark_egress_deterministic(spark, documents):
+    """repartition(1) + sorted input -> byte-identical .warc.gz across runs
+    (gzip mtime=0, derived record ids — no wallclock anywhere)."""
+    from image_ocr_spark.operators.generate import generate_pages
+    from image_ocr_spark.operators.warcsource import pages_to_warc
+
+    pages = (
+        generate_pages(documents.limit(50))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    a = pages_to_warc(pages).collect()
+    b = pages_to_warc(pages).collect()
+    assert len(a) == 1 and a[0].chunk == b[0].chunk
+
+
+def test_read_warc_plan_is_scan_stage_only(spark, documents):
+    """Ingest is mapInArrow over the chunk scan: no Exchange anywhere in
+    the physical plan (the 100 TB shape: one task per segment)."""
+    from image_ocr_spark.operators.generate import generate_pages
+    from image_ocr_spark.operators.warcsource import pages_to_warc, read_warc
+
+    pages = generate_pages(documents.filter(F.col("doc_id") < 50))
+    df = read_warc(pages_to_warc(pages))
+    explained = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in explained
+
+
+def test_stream_warc_chunks_equals_batch(spark, documents, tmp_path):
+    """SURVEY §7 stretch closed: availableNow drain over arriving WARC
+    chunk partitions parses record-identically to the batch path, with
+    warc_ts as an event-time timestamp ready for watermarking."""
+    from image_ocr_spark.operators.generate import generate_pages
+    from image_ocr_spark.operators.warcsource import pages_to_warc, read_warc
+    from image_ocr_spark.streaming.ingest import stream_warc_chunks
+
+    pages = generate_pages(documents.limit(120))
+    chunks = pages_to_warc(pages, max_chunk_bytes=8 << 10)
+    chunks_dir = str(tmp_path / "chunks")
+    # two "arrivals": a backfill file and a tail file
+    chunks.filter(F.col("n_records") % 2 == 0).write.parquet(
+        chunks_dir, mode="overwrite"
+    )
+    chunks.filter(F.col("n_records") % 2 == 1).write.parquet(
+        chunks_dir, mode="append"
+    )
+
+    out_dir, ck_dir = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        stream_warc_chunks(spark, chunks_dir, max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    want = read_warc(spark.read.parquet(chunks_dir))
+    key = lambda r: r.url  # noqa: E731
+    grows = sorted(got.collect(), key=key)
+    wrows = sorted(want.collect(), key=key)
+    assert len(grows) == len(wrows) > 0
+    for g, w in zip(grows, wrows):
+        assert g.url == w.url and bytes(g.payload) == bytes(w.payload)
+        assert int(g.warc_ts.timestamp()) == w.warc_ts  # ts->timestamp cast
