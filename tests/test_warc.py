@@ -236,3 +236,21 @@ def test_stream_warc_chunks_equals_batch(spark, documents, tmp_path):
     for g, w in zip(grows, wrows):
         assert g.url == w.url and bytes(g.payload) == bytes(w.payload)
         assert int(g.warc_ts.timestamp()) == w.warc_ts  # ts->timestamp cast
+
+
+def test_binaryfile_source_feeds_read_warc(spark, documents, tmp_path):
+    """The documented 100 TB path, literally: real `.warc.gz` segment
+    files on disk, read via the binaryFile source, parsed by the same
+    operator (chunk_col points at binaryFile's `content` column)."""
+    from image_ocr_spark.operators.generate import generate_pages
+    from image_ocr_spark.operators.warcsource import pages_to_warc, read_warc
+
+    pages = generate_pages(documents.limit(60))
+    for i, r in enumerate(pages_to_warc(pages, max_chunk_bytes=16 << 10).collect()):
+        (tmp_path / f"seg-{i:05d}.warc.gz").write_bytes(bytes(r.chunk))
+
+    seg = spark.read.format("binaryFile").load(str(tmp_path / "*.warc.gz"))
+    recs = read_warc(seg, chunk_col="content")
+    got = {r.url: bytes(r.payload) for r in recs.collect()}
+    want = {r.url: bytes(r.html) for r in pages.collect()}
+    assert got == want
