@@ -180,6 +180,137 @@ def pairs_worker(threads: int, sf_dir: str) -> None:
     spark.stop()
 
 
+def warc_chunks_path() -> str:
+    return os.path.join(CACHE_ROOT, f"warc_{_sf_tag()}_{CORPUS_REV}_x{REPLICAS}")
+
+
+def prepare_warc_chunks() -> dict:
+    """Serialize the cached page corpus into `.warc.gz` chunk rows once
+    (outside timed runs) — the bench analog of a crawl's segment pile.
+    4 MiB payload chunks keep task granularity realistic for a corpus
+    this small (at 100 TB a segment is ~1 GB and there are ~10^5 of
+    them; here ~150 chunks give 16 threads real parallelism)."""
+    path = warc_chunks_path()
+    meta_path = path + ".meta.json"
+    if not os.path.exists(meta_path):
+        from pyspark.sql import functions as F
+
+        from image_ocr_spark.operators.warcsource import pages_to_warc
+        from image_ocr_spark.session import get_spark
+
+        prepare_pages()
+        spark = get_spark("local[*]", app_name="bench-warc-prep",
+                          shuffle_partitions=32)
+        pages = spark.read.parquet(pages_path())
+        chunks = pages_to_warc(pages, max_chunk_bytes=4 << 20)
+        chunks.write.mode("overwrite").parquet(path)
+        stats = (
+            spark.read.parquet(path)
+            .agg(
+                F.sum("n_records").alias("records"),
+                F.sum(F.octet_length("chunk")).alias("gz_bytes"),
+                F.count(F.lit(1)).alias("chunks"),
+            )
+            .first()
+        )
+        spark.stop()
+        with open(meta_path, "w") as fh:
+            json.dump({"records": int(stats["records"]),
+                       "gz_bytes": int(stats["gz_bytes"]),
+                       "chunks": int(stats["chunks"])}, fh)
+    with open(meta_path) as fh:
+        return json.load(fh)
+
+
+def warc_worker(threads: int, path: str) -> None:
+    """Pinned-JVM pass server for the INGEST path: one full read_warc
+    parse (gunzip members + WARC/HTTP framing) over the chunk parquet
+    per 'go', reduced to count + payload bytes so every record is
+    materialized through the Arrow boundary."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.warcsource import read_warc
+    from image_ocr_spark.session import get_spark
+
+    extra = {"spark.driver.memory": "12g",
+             "spark.driver.extraJavaOptions": "-Xms12g -XX:+UseG1GC"}
+    spark = get_spark(
+        f"local[{threads}]",
+        app_name=f"bench-warc-{threads}",
+        shuffle_partitions=threads,
+        extra_conf=extra,
+    )
+    chunks = spark.read.parquet(path)
+
+    def one_pass() -> float:
+        df = read_warc(chunks).agg(
+            F.count(F.lit(1)).alias("records"),
+            F.sum(F.octet_length("payload")).alias("payload_bytes"),
+        )
+        df._jdf.queryExecution().executedPlan()
+        t0 = time.time()
+        df.collect()
+        return time.time() - t0
+
+    one_pass()  # warm: JIT + python workers + page cache
+    print(json.dumps({"ready": True}), flush=True)
+    for line in sys.stdin:
+        if line.strip() != "go":
+            break
+        print(json.dumps({"t": one_pass()}), flush=True)
+    spark.stop()
+
+
+def warc_scaling_main() -> None:
+    """N-vs-4N scaling for WARC ingest (the north rule's boundary job) —
+    same disjoint-pinned-core, coinciding-window methodology as the
+    flagship; reports parsed-payload MB/s at HI plus efficiency."""
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    meta = prepare_warc_chunks()
+    pmeta = prepare_pages()
+    ncpu = os.cpu_count() or 1
+    if ncpu >= LO + HI:
+        lo_cores, hi_cores = f"0-{LO - 1}", f"{LO}-{LO + HI - 1}"
+    else:
+        lo_cores = f"0-{min(LO, ncpu) - 1}"
+        hi_cores = f"0-{min(HI, ncpu) - 1}"
+    path = warc_chunks_path()
+    lo_w = PinnedWorker(LO, lo_cores, path, mode="--warc-worker")
+    hi_w = PinnedWorker(HI, hi_cores, path, mode="--warc-worker")
+    lo_w.wait_ready()
+    hi_w.wait_ready()
+    ratio = max(1, HI // LO)
+    best = {LO: float("inf"), HI: float("inf")}
+    effs = []
+    for _ in range(4):
+        lo_w.go()
+        his = [hi_w.ask() for _ in range(ratio)]
+        t_lo = lo_w.read_t()
+        t_hi = min(his)
+        best[LO] = min(best[LO], t_lo)
+        best[HI] = min(best[HI], t_hi)
+        effs.append((t_lo / t_hi) / ratio)
+    lo_w.close()
+    hi_w.close()
+    effs.sort()
+    mb = pmeta["bytes"] / 1e6
+    print(json.dumps({
+        "metric": f"warc_ingest_scaling_{_sf_tag()}",
+        "unit": "sec",
+        "lo_cpus": LO,
+        "hi_cpus": HI,
+        "lo_s": round(best[LO], 3),
+        "hi_s": round(best[HI], 3),
+        "records": meta["records"],
+        "gz_mb": round(meta["gz_bytes"] / 1e6, 1),
+        "payload_mb": round(mb, 1),
+        "mb_per_sec_hi": round(mb / best[HI], 2),
+        "records_per_sec_hi": round(meta["records"] / best[HI], 1),
+        "scaling_efficiency": round(effs[len(effs) // 2], 3),
+        "scaling_samples": [round(e, 3) for e in effs],
+    }))
+
+
 class PinnedWorker:
     """Pinned subprocess running `worker`; one timed pass per ask()."""
 
@@ -587,6 +718,12 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--pairs-scaling":
         pairs_scaling_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--warc-worker":
+        warc_worker(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--warc-ingest":
+        warc_scaling_main()
         return
     os.makedirs(CACHE_ROOT, exist_ok=True)
     meta = prepare_pages()
