@@ -44,41 +44,61 @@ WARC_STATS_SCHEMA = "n_records long, n_skipped long, truncated boolean"
 PAGES_TO_WARC_SCHEMA = "chunk binary, n_records long"
 
 
-def _read_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    from image_ocr_spark.pycore.warc import parse_warc
+def _read_batches(n_passthrough: int):
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from image_ocr_spark.pycore.warc import parse_warc
 
-    schema = pa.schema(_RECORD_FIELDS)
-    for b in batches:
-        chunks = b.column(0).to_pylist()
-        urls, tss, cts, payloads = [], [], [], []
-        for chunk in chunks:
-            for rec in parse_warc(chunk or b"")["records"]:
-                urls.append(rec["url"])
-                tss.append(rec["warc_ts"])
-                cts.append(rec["content_type"])
-                payloads.append(rec["payload"])
-        yield pa.RecordBatch.from_arrays(
-            [
+        for b in batches:
+            chunks = b.column(0).to_pylist()
+            urls, tss, cts, payloads = [], [], [], []
+            reps = []  # records per chunk, for passthrough fan-out
+            for chunk in chunks:
+                recs = parse_warc(chunk or b"")["records"]
+                reps.append(len(recs))
+                for rec in recs:
+                    urls.append(rec["url"])
+                    tss.append(rec["warc_ts"])
+                    cts.append(rec["content_type"])
+                    payloads.append(rec["payload"])
+            arrays = [
                 pa.array(urls, pa.string()),
                 pa.array(tss, pa.int64()),
                 pa.array(cts, pa.string()),
                 pa.array(payloads, pa.binary()),
-            ],
-            schema=schema,
-        )
+            ]
+            fields = list(_RECORD_FIELDS)
+            for i in range(n_passthrough):
+                col = b.column(1 + i)
+                vals = col.to_pylist()
+                fanned = [v for v, n in zip(vals, reps) for _ in range(n)]
+                arrays.append(pa.array(fanned, col.type))
+                fields.append(b.schema.field(1 + i))
+            yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+
+    return gen
 
 
-def read_warc(chunks: DataFrame, chunk_col: str = "chunk") -> DataFrame:
+def read_warc(
+    chunks: DataFrame,
+    chunk_col: str = "chunk",
+    passthrough: tuple = (),
+) -> DataFrame:
     """(chunk binary) rows -> (url, warc_ts secs, content_type, payload).
 
     Scan-stage only: no shuffle, no driver traffic; the fat chunk column
-    is the ONLY input column (pruned projection), and non-response /
-    malformed records are dropped here (see ``read_warc_stats`` for the
-    quarantine counters a production ingest writes to its manifest).
+    is the ONLY input column unless ``passthrough`` names slim lineage
+    columns (e.g. binaryFile's ``path``) to fan out onto every record of
+    their chunk — the per-segment lineage key a resumable ingest
+    checkpoints on (operators/checkpoint.py).  Non-response / malformed
+    records are dropped here (see ``read_warc_stats`` for the quarantine
+    counters a production ingest writes to its manifest).
     """
-    return chunks.select(F.col(chunk_col).alias("chunk")).mapInArrow(
-        _read_batches, READ_WARC_SCHEMA
-    )
+    cols = [F.col(chunk_col).alias("chunk")] + [F.col(c) for c in passthrough]
+    src = chunks.select(*cols)
+    out_schema = READ_WARC_SCHEMA
+    for f in src.schema.fields[1:]:
+        out_schema += f", {f.name} {f.dataType.simpleString()}"
+    return src.mapInArrow(_read_batches(len(passthrough)), out_schema)
 
 
 def _stats_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

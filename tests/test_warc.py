@@ -254,3 +254,38 @@ def test_binaryfile_source_feeds_read_warc(spark, documents, tmp_path):
     got = {r.url: bytes(r.payload) for r in recs.collect()}
     want = {r.url: bytes(r.html) for r in pages.collect()}
     assert got == want
+
+
+def test_warc_ingest_resumes_from_checkpoint(spark, documents, tmp_path):
+    """North-rule composition for the ingest boundary: segment files are
+    the lineage unit — a killed ingest resumes over pending segments
+    only, committed output equals a one-shot parse, manifests carry the
+    counters.  binaryFile `path` rides through read_warc as the
+    per-record lineage key the checkpoint buckets on."""
+    from image_ocr_spark.operators.checkpoint import BucketedCheckpoint
+    from image_ocr_spark.operators.generate import generate_pages
+    from image_ocr_spark.operators.warcsource import pages_to_warc, read_warc
+
+    pages = generate_pages(documents.limit(120))
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    for i, r in enumerate(pages_to_warc(pages, max_chunk_bytes=8 << 10).collect()):
+        (seg_dir / f"seg-{i:05d}.warc.gz").write_bytes(bytes(r.chunk))
+
+    segs = spark.read.format("binaryFile").load(str(seg_dir / "*.warc.gz"))
+    ingest = lambda df: read_warc(df, "content", passthrough=("path",))  # noqa: E731
+
+    ck = BucketedCheckpoint(str(tmp_path / "ck"), num_buckets=6, key="path")
+    done = ck.run(segs, ingest, buckets_per_batch=2, max_batches=1)
+    assert done == [0, 1] and ck.pending() == [2, 3, 4, 5]  # "killed" here
+    assert 0 < ck.result(spark).count() < pages.count()
+
+    done2 = ck.run(segs, ingest, buckets_per_batch=2)
+    assert done2 == [2, 3, 4, 5] and ck.pending() == []
+
+    direct = {r.url: bytes(r.payload) for r in read_warc(segs, "content").collect()}
+    resumed = {r.url: bytes(r.payload) for r in ck.result(spark).collect()}
+    assert resumed == direct and len(resumed) == pages.count()
+
+    m = ck.metrics()
+    assert m["buckets"] == 6 and m["output_rows"] == pages.count()
