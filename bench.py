@@ -335,16 +335,19 @@ def warc_scaling_main() -> None:
     }))
 
 
-def warc_fused_main() -> None:
+def warc_fused_main(cpus: int = HI) -> None:
     """Fused (one Python boundary) vs composed (records re-cross Arrow)
     segment-to-extraction, interleaved on the SAME pinned worker so each
-    pair samples one noise window."""
+    pair samples one noise window.  A low-cpu arm (``--warc-fused 4``)
+    probes the shared-core regime: the composed path runs TWO resident
+    Python workers per task, so at 4 pinned cores it oversubscribes 2x
+    while the fused path stays one process per core."""
     os.makedirs(CACHE_ROOT, exist_ok=True)
     meta = prepare_warc_chunks()
     pmeta = prepare_pages()
     ncpu = os.cpu_count() or 1
-    cores = f"0-{min(HI, ncpu) - 1}"
-    w = PinnedWorker(HI, cores, warc_chunks_path(), mode="--warc-worker")
+    cores = f"0-{min(cpus, ncpu) - 1}"
+    w = PinnedWorker(cpus, cores, warc_chunks_path(), mode="--warc-worker")
     w.wait_ready()
     w.ask("go:fused")  # warm the fused plan's python workers too
     w.ask("go:composed")
@@ -357,7 +360,7 @@ def warc_fused_main() -> None:
     print(json.dumps({
         "metric": f"warc_extract_fused_vs_composed_{_sf_tag()}",
         "unit": "sec",
-        "cpus": HI,
+        "cpus": cpus,
         "records": meta["records"],
         "payload_mb": round(mb, 1),
         "fused_s": round(best["fused"], 3),
@@ -783,7 +786,7 @@ def main() -> None:
         warc_scaling_main()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--warc-fused":
-        warc_fused_main()
+        warc_fused_main(int(sys.argv[2]) if len(sys.argv) > 2 else HI)
         return
     os.makedirs(CACHE_ROOT, exist_ok=True)
     meta = prepare_pages()

@@ -267,17 +267,20 @@ def warc_extract(
 
     Measured crossover (bench.py --warc-fused, interleaved best-of-3 on
     one pinned worker): at sf0.001 the fusion wins 1.43x (per-batch JVM
-    round-trips dominate); at sf0.1 @16 pinned cpus it is 0.93x — the
-    composed path's two chained mapInArrow stages run as SEPARATE Python
-    workers per task, so gunzip+parse overlaps tokenize in a per-task
-    pipeline that hides the double Arrow copy once tasks are long.  Both
-    are CPU-bound within ~7% of each other; the fusion's real margins are
-    (a) half the Python-worker memory bandwidth (payload bytes cross the
-    Arrow boundary once, not three times) and (b) half the resident
-    Python workers — both matter on a real executor where cores are not
-    exclusively pinned per task.  Use the composed path when records must
-    be materialized (e.g. checkpointed ingest); use this one when the
-    table being built IS the extraction.
+    round-trips dominate); at sf0.1 it is 0.93x @16 cpus and 0.95x @4
+    cpus — the composed path's two chained mapInArrow stages run as
+    SEPARATE Python workers per task, so gunzip+parse overlaps tokenize
+    in a per-task pipeline that hides the extra copies once tasks are
+    long, and the 4-cpu arm shows that holds even 2x-oversubscribed
+    (8 worker processes on 4 pinned cores).  So composed is the
+    wall-clock default at scale; what the fusion still buys is (a) peak
+    memory — payload bytes exist in ONE Python heap instead of two
+    workers plus the JVM Arrow buffers, and (b) half the resident Python
+    workers per core — margins for memory-constrained executors, not
+    speed.  Use the composed path when records must be materialized
+    (e.g. checkpointed ingest) or for throughput at scale; use this one
+    for latency on small batches or when worker memory is the binding
+    constraint.
     """
     from .tokenize import FUSED_DDL
 
