@@ -768,13 +768,43 @@ def q_kmeans_batched_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 median (ref preprocessor.py:979-997 deskew-angle median) as exact
     percentile over event values; x2 so the interpolated midpoint stays
-    integral."""
+    integral.  r05: retired from the driver registry (generic-SQL demo) in
+    favor of bpe_vocab; its DuckDB value check lives on in
+    tests/test_bpe.py::test_median_by_type_oracle_preserved via
+    MEDIAN_ORACLE_SQL."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     cents = F.round(F.col("value") * 100).cast("long")
     return ev.groupBy("event_type").agg(
         (2 * F.percentile(cents, 0.5)).cast("long").alias("median_cents_x2"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+MEDIAN_ORACLE_SQL = """
+    SELECT event_type,
+           CAST(2 * median(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS median_cents_x2,
+           count(*) AS n
+    FROM events GROUP BY event_type
+"""
+
+
+_BPE_ROUNDS = 8
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (Sennrich ACL'16) over the
+    documents corpus — the tokenizer-training step upstream of every LLM
+    data pipeline.  One Zipf-bounded word-count shuffle, then per merge
+    round one vocab-table agg + a single-row driver pull (kmeans-style
+    control plane) + a literal-replace rewrite.  The oracle replays the
+    identical greedy-leftmost merge by unrolled CTE stages whose argmax
+    is a scalar subquery; the two-space symbol representation makes
+    merge == replace() in Spark, DuckDB and pycore alike
+    (pycore/bpe.py, parity-tested in tests/test_bpe.py)."""
+    from image_ocr_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir), rounds=_BPE_ROUNDS)
 
 
 def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1116,7 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spans": q_label_spans,
         "warc_ingest": q_warc_ingest,
         "classify_reasoning": q_classify_reasoning,
-        "median_by_type": q_median_by_type,
+        "bpe_vocab": q_bpe_vocab,
         "receipt_tax": q_receipt_tax,
         "invoice_warnings": q_invoice_warnings,
         "token_count_bpe": q_token_count_bpe,
@@ -1937,6 +1967,43 @@ _RECEIPT_SCORES = (1250, 0)
 _INVOICE_SCORES = (0, 2295)
 
 
+def _sql_bpe_vocab(rounds: int = _BPE_ROUNDS) -> str:
+    """DuckDB replay of q_bpe_vocab: the word-count table, the padded
+    two-space character representation, then ``rounds`` unrolled merge
+    stages — each stage's argmax pair is a scalar subquery feeding a
+    literal replace() whose greedy-leftmost non-overlapping scan matches
+    Spark's F.replace and Python's str.replace exactly (the host_rank /
+    dedup_clusters unrolled-oracle discipline)."""
+    sql = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(coalesce(text, ''), '[ \\n\\t\\r]+')) AS w
+  FROM documents
+),
+wc AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM toks WHERE w <> '' GROUP BY w),
+w0 AS MATERIALIZED (
+  SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS rep, cnt FROM wc
+)"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+s{k} AS (SELECT string_split(trim(rep), '  ') AS s, cnt FROM w{k - 1}),
+e{k} AS (SELECT unnest(range(1, array_length(s)::BIGINT)) AS i, s, cnt FROM s{k}),
+p{k} AS MATERIALIZED (
+  SELECT s[i] AS l, s[i+1] AS r, sum(cnt)::BIGINT AS c FROM e{k} GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+w{k} AS MATERIALIZED (
+  SELECT replace(rep,
+                 ' ' || (SELECT l FROM b{k}) || '  ' || (SELECT r FROM b{k}) || ' ',
+                 ' ' || (SELECT l || r FROM b{k}) || ' ') AS rep, cnt
+  FROM w{k - 1})"""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_round, l AS sym_left, r AS sym_right,"
+        f" l || r AS merged, c AS pair_count FROM b{k}"
+        for k in range(1, rounds + 1)
+    )
+    return sql + f"\nSELECT * FROM (\n{unions}\n)"
+
+
 def _sql_host_rank() -> str:
     """DuckDB replay of q_host_rank: the deterministic link fixture, the
     full resolve_edges branch CASE (every branch bit-for-bit), then the
@@ -2444,13 +2511,7 @@ def oracle_sql() -> dict[str, str]:
               END AS reasoning
             FROM documents
         """,
-        "median_by_type": """
-            SELECT event_type,
-                   CAST(2 * median(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                     AS median_cents_x2,
-                   count(*) AS n
-            FROM events GROUP BY event_type
-        """,
+        "bpe_vocab": _sql_bpe_vocab(),
         "receipt_tax": """
             SELECT doc_id,
               (150 + (doc_id % 10) * 10)::BIGINT AS tax_rate_8,
