@@ -27,6 +27,7 @@ PAIR_QUERIES = [
     "fingerprint_pairs",
     "dedup_embedding",
     "dedup_substrings",  # r05: exact token-window scrub at 10x
+    "bpe_vocab",  # r05 late: merge table value-identical at 10x
     # not pair ops, but the 10x byte-identity checks worth having:
     "flagship_extract",
     "label_spans",

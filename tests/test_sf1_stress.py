@@ -37,6 +37,7 @@ PAIR_QUERIES = [
     "fingerprint_pairs",
     "dedup_embedding",
     "dedup_substrings",  # r05: exact token-window scrub at 100x
+    "bpe_vocab",  # r05 late: merge table value-identical at 100x
     "flagship_extract",
     "corpus_select",
     "decontaminate",
