@@ -91,3 +91,37 @@ def bpe_merges(
     finally:
         base.unpersist()
     return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table: (id, n_words, n_subwords, subwords) —
+    the tokenize-with-trained-vocab step.  Pure scan-stage column
+    expressions, ZERO shuffle: the R merges arrive as literal replace
+    chains (R is vocab-budget-sized, the same control-plane scale as the
+    learning loop's driver pulls), each word is rebuilt once per merge
+    (no derived-array-per-element re-evaluation), and word order is
+    preserved through the flatten.  Parity twin: pycore.bpe.encode_text
+    (tests/test_bpe.py)."""
+
+    def subwords_of(w):
+        rep = F.concat(
+            F.lit(" "), F.rtrim(F.regexp_replace(w, "(.)", "$1  ")), F.lit(" ")
+        )
+        for _, l, r, _, _ in merges:
+            rep = F.replace(rep, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+        return F.split(F.trim(rep), "  ")
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, "[ \n\t\r]+"), lambda w: w != "")
+    subs = F.flatten(F.transform(words, subwords_of))
+    return docs.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(subs).cast("long").alias("n_subwords"),
+        subs.alias("subwords"),
+    )
