@@ -118,3 +118,17 @@ def test_encode_applies_merges_scan_stage(spark, documents):
         # lossless: concatenating subwords reproduces the word stream
         assert "".join(subs) == "".join(w for w in WS.split(t or "") if w)
         assert n_words == sum(1 for w in WS.split(t or "") if w)
+
+
+def test_local_loop_matches_distributed(spark, documents):
+    """bpe_merges_local (Spark reduction + driver-side loop — the
+    industrial 30k-merge-budget execution) is row-identical to the fully
+    distributed loop on the fixture corpus."""
+    from image_ocr_spark.operators.bpe import bpe_merges, bpe_merges_local
+
+    docs = documents.select("doc_id", "text")
+    a = [tuple(r) for r in bpe_merges(docs, rounds=6).collect()]
+    b = [tuple(r) for r in bpe_merges_local(docs, rounds=6).collect()]
+    assert a == b and len(a) == 6
+    with pytest.raises(ValueError):
+        bpe_merges_local(docs, rounds=2, max_vocab_rows=10)
