@@ -17,6 +17,10 @@ TRICKY = [
     None,
     "tab\there\nnewline  double  space",
     "xyxyxy xyxy zzzz",
+    # non-ASCII: Java regex, RE2 and Python all split '(.)' per CODE
+    # POINT (incl. astral-plane surrogate pairs) — locked in here
+    "héllo wörld 日本語 テスト",
+    "🙂🙂 x🙂y 漢字漢字",
 ]
 
 
