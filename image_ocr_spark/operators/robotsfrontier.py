@@ -1,0 +1,123 @@
+"""robots.txt gate over a URL frontier — the Spark side of RFC 9309.
+
+Split by cardinality (the Spark-first move): there are ~10^7 hosts but
+~10^12 urls at crawl scale, so the PARSE (real logic, pycore/robotstxt)
+runs once per host in a scan-stage mapInArrow over the tiny robots
+table, emitting rules pre-compiled to SQL LIKE patterns; the per-URL
+verdict is then pure JVM column expressions — one broadcast/shuffle join
+on host and an array fold, no Python anywhere near the URL table, and
+the LIKE strings make the verdict replayable in DuckDB
+(tests/test_robotstxt.py).
+
+The most-specific-match + allow-wins-ties rule compiles to one
+``array_max`` over ``struct(plen, is_allow)``: struct ordering compares
+fields left to right, so the max is the longest pattern and, among equal
+lengths, the allow — RFC 9309 §2.2.2 as a single expression.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, functions as F
+
+RULES_DDL = (
+    "host string, rules array<struct<is_allow: boolean, like_pat: string,"
+    " plen: int>>"
+)
+
+_RULES_TYPE = pa.list_(
+    pa.struct(
+        [
+            pa.field("is_allow", pa.bool_()),
+            pa.field("like_pat", pa.string()),
+            pa.field("plen", pa.int32()),
+        ]
+    )
+)
+
+
+def _parse_batches(agent: str):
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..pycore.robotstxt import parse_robots_txt, select_group, to_like
+
+        schema = pa.schema(
+            [pa.field("host", pa.string()), pa.field("rules", _RULES_TYPE)]
+        )
+        for b in batches:
+            names = b.schema.names
+            hosts = b.column(names.index("host")).to_pylist()
+            txts = b.column(names.index("robots_txt")).to_pylist()
+            rules_col = []
+            for txt in txts:
+                rules = select_group(parse_robots_txt(txt or ""), agent)
+                rules_col.append(
+                    [
+                        {
+                            "is_allow": is_allow,
+                            "like_pat": to_like(pat),
+                            "plen": len(pat),
+                        }
+                        for is_allow, pat in rules
+                    ]
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(hosts, pa.string()), pa.array(rules_col, _RULES_TYPE)],
+                schema=schema,
+            )
+
+    return gen
+
+
+def robots_rules(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, rules): the crawler-selected rule group per host, rule
+    paths pre-compiled to LIKE patterns.  Scan-stage, zero shuffle; the
+    output is host-count-sized."""
+    rows = robots.select(
+        F.col(host_col).alias("host"), F.col(txt_col).alias("robots_txt")
+    )
+    return rows.mapInArrow(_parse_batches(agent), RULES_DDL)
+
+
+def url_path(url: Column) -> Column:
+    """Path+query octets of a url (the string RFC rules match against);
+    empty path is '/'."""
+    p = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def apply_robots(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    out_col: str = "robots_allowed",
+) -> DataFrame:
+    """urls + boolean ``out_col``.  One equi-join on host (broadcast the
+    rules side when it fits — at 10^7 hosts, bucket or let AQE decide),
+    then a per-row array expression: filter the rules whose LIKE pattern
+    matches the url's path, take array_max(struct(plen, is_allow)).
+    Unknown host or no matching rule = allowed (RFC default)."""
+    path = url_path(F.col(url_col))
+    matched = F.filter(
+        F.col("rules"),
+        lambda r: F.like(path, r["like_pat"], F.lit("\\")),
+    )
+    verdict = F.when(F.size(matched) > 0, F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                r["plen"].alias("plen"), r["is_allow"].alias("is_allow")
+            ),
+        )
+    )["is_allow"]).otherwise(F.lit(True))
+    joined = urls.join(rules, on=host_col, how="left")
+    return joined.withColumn(
+        out_col, F.when(F.col("rules").isNull(), F.lit(True)).otherwise(verdict)
+    ).drop("rules")
