@@ -121,3 +121,55 @@ def apply_robots(
     return joined.withColumn(
         out_col, F.when(F.col("rules").isNull(), F.lit(True)).otherwise(verdict)
     ).drop("rules")
+
+
+META_DDL = "host string, crawl_delay_milli long, sitemaps array<string>"
+
+_META_SCHEMA = pa.schema(
+    [
+        pa.field("host", pa.string()),
+        pa.field("crawl_delay_milli", pa.int64()),
+        pa.field("sitemaps", pa.list_(pa.string())),
+    ]
+)
+
+
+def _meta_batches(agent: str):
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..pycore.robotstxt import parse_robots_extras, select_crawl_delay
+
+        for b in batches:
+            names = b.schema.names
+            hosts = b.column(names.index("host")).to_pylist()
+            txts = b.column(names.index("robots_txt")).to_pylist()
+            delays, sms = [], []
+            for txt in txts:
+                sitemaps, dmap = parse_robots_extras(txt or "")
+                delays.append(select_crawl_delay(dmap, agent))
+                sms.append(sitemaps)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(hosts, pa.string()),
+                    pa.array(delays, pa.int64()),
+                    pa.array(sms, pa.list_(pa.string())),
+                ],
+                schema=_META_SCHEMA,
+            )
+
+    return gen
+
+
+def robots_host_meta(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, crawl_delay_milli, sitemaps): the per-host politeness /
+    discovery table a frontier scheduler joins against.  Scan-stage,
+    zero shuffle, host-count-sized output; delay 0 = none declared for
+    this crawler."""
+    rows = robots.select(
+        F.col(host_col).alias("host"), F.col(txt_col).alias("robots_txt")
+    )
+    return rows.mapInArrow(_meta_batches(agent), META_DDL)

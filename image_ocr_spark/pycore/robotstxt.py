@@ -152,3 +152,56 @@ def to_like(pattern: str) -> str:
     if not anchored and not like.endswith("%"):
         like += "%"
     return like
+
+
+def parse_robots_extras(text: str) -> Tuple[List[str], Dict[str, int]]:
+    """(sitemaps, crawl_delay_milli_by_agent): the non-rule records a
+    frontier scheduler consumes.  Sitemap lines are global (RFC 9309
+    treats them as non-group records); crawl-delay (de-facto extension)
+    attaches to the current user-agent group(s), later lines win,
+    non-numeric values are ignored, and the value is quantized to
+    integer milliseconds (the house integer-units rule)."""
+    sitemaps: List[str] = []
+    delays: Dict[str, int] = {}
+    current: List[str] = []
+    saw_rule = True
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0]
+        m = _LINE_RE.match(line)
+        if not m:
+            continue
+        field, value = m.group(1).lower(), m.group(2)
+        if field == "user-agent":
+            if saw_rule:
+                current = []
+                saw_rule = False
+            token = value.strip().lower()
+            if token:
+                current.append(token)
+        elif field in ("allow", "disallow"):
+            saw_rule = True
+        elif field == "sitemap":
+            if value:
+                sitemaps.append(value)
+        elif field == "crawl-delay":
+            try:
+                seconds = float(value)
+            except ValueError:
+                continue
+            if seconds >= 0:
+                for token in current:
+                    delays[token] = int(round(seconds * 1000))
+    return sitemaps, delays
+
+
+def select_crawl_delay(delays: Dict[str, int], agent: str) -> int:
+    """Longest-agent-token selection (same rule as select_group);
+    0 = no delay declared for this crawler."""
+    a = agent.strip().lower()
+    best, best_len = None, -1
+    for token, d in delays.items():
+        if token != "*" and a.startswith(token) and len(token) > best_len:
+            best, best_len = d, len(token)
+    if best is not None:
+        return best
+    return delays.get("*", 0)

@@ -206,3 +206,39 @@ def test_url_path_extraction(spark):
     )
     got = [r.p for r in df.select(url_path(F.col("url")).alias("p")).collect()]
     assert got == ["/a/b?q=1#f", "/", "/"]
+
+
+def test_extras_and_host_meta(spark):
+    from image_ocr_spark.operators.robotsfrontier import robots_host_meta
+    from image_ocr_spark.pycore.robotstxt import (
+        parse_robots_extras,
+        select_crawl_delay,
+    )
+
+    txt = (
+        "User-agent: a\nCrawl-delay: 1.5\nDisallow: /x\n"
+        "Sitemap: http://e/s1.xml\n"
+        "User-agent: *\nCrawl-delay: bogus\nCrawl-delay: 10\n"
+        "Sitemap: http://e/s2.xml\n"
+    )
+    sm, d = parse_robots_extras(txt)
+    assert sm == ["http://e/s1.xml", "http://e/s2.xml"]
+    assert d == {"a": 1500, "*": 10000}
+    assert select_crawl_delay(d, "a-bot/2") == 1500
+    assert select_crawl_delay(d, "other") == 10000
+    assert select_crawl_delay({}, "x") == 0
+
+    robots = spark.createDataFrame(
+        [("h1", txt), ("h2", None), ("h3", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    meta = robots_host_meta(robots, agent="a-bot/2")
+    assert "Exchange" not in (
+        meta._jdf.queryExecution().executedPlan().toString()
+    )
+    got = {r.host: (r.crawl_delay_milli, list(r.sitemaps)) for r in meta.collect()}
+    assert got == {
+        "h1": (1500, ["http://e/s1.xml", "http://e/s2.xml"]),
+        "h2": (0, []),
+        "h3": (0, []),
+    }
