@@ -173,3 +173,66 @@ def robots_host_meta(
         F.col(host_col).alias("host"), F.col(txt_col).alias("robots_txt")
     )
     return rows.mapInArrow(_meta_batches(agent), META_DDL)
+
+
+SITEMAP_DDL = (
+    "host string, kind string, loc string, lastmod string,"
+    " changefreq string, priority_milli long"
+)
+
+
+def _sitemap_batches():
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..pycore.sitemap import parse_sitemap
+
+        schema = pa.schema(
+            [
+                pa.field("host", pa.string()),
+                pa.field("kind", pa.string()),
+                pa.field("loc", pa.string()),
+                pa.field("lastmod", pa.string()),
+                pa.field("changefreq", pa.string()),
+                pa.field("priority_milli", pa.int64()),
+            ]
+        )
+        for b in batches:
+            names = b.schema.names
+            hosts = b.column(names.index("host")).to_pylist()
+            xmls = b.column(names.index("sitemap_xml")).to_pylist()
+            rows = {k: [] for k in schema.names}
+            for host, xml in zip(hosts, xmls):
+                parsed = parse_sitemap(xml or "")
+                for loc, lastmod, freq, prio in parsed["urls"]:
+                    rows["host"].append(host)
+                    rows["kind"].append("url")
+                    rows["loc"].append(loc)
+                    rows["lastmod"].append(lastmod)
+                    rows["changefreq"].append(freq)
+                    rows["priority_milli"].append(prio)
+                for loc, lastmod in parsed["sitemaps"]:
+                    rows["host"].append(host)
+                    rows["kind"].append("sitemap")
+                    rows["loc"].append(loc)
+                    rows["lastmod"].append(lastmod)
+                    rows["changefreq"].append("")
+                    rows["priority_milli"].append(0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rows[f.name], f.type) for f in schema],
+                schema=schema,
+            )
+
+    return gen
+
+
+def sitemap_entries(
+    sitemaps: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Exploded sitemap/sitemapindex entries per host — the discovery
+    feed a frontier unions with the link graph.  Scan-stage mapInArrow
+    (pycore/sitemap.py single source of truth), zero shuffle; `kind` is
+    'url' for page entries, 'sitemap' for index children (crawl those
+    next round — the same resumable-frontier shape as WARC segments)."""
+    rows = sitemaps.select(
+        F.col(host_col).alias("host"), F.col(xml_col).alias("sitemap_xml")
+    )
+    return rows.mapInArrow(_sitemap_batches(), SITEMAP_DDL)
