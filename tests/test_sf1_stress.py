@@ -375,3 +375,97 @@ def test_no_cached_relation_leaks_after_battery(spark):
         f"{leftover} persisted RDDs remain after cache release — "
         "an operator is leaking storage"
     )
+
+
+@pytest.mark.skipif(not STRESS, reason="set SPARK_GRAFT_STRESS=1 (slow)")
+def test_dsir_at_sf1(spark, sf1, duck):
+    """DSIR at 100x: 50k-doc source, 10k-doc target slice.  The count
+    stage must equal the DuckDB replay exactly; weights are spot-replayed
+    in Python on a 300-doc sample (exact integers, no tolerance)."""
+    import hashlib
+    import re as _re
+    import time
+
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.dsir import (
+        dsir_log_table,
+        dsir_weights,
+        ngram_bucket_counts,
+    )
+
+    n_buckets = 4096
+    docs = spark.read.parquet(f"{sf1}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    t0 = time.time()
+    sc_rows = sorted(
+        (r.bucket, r.cnt)
+        for r in ngram_bucket_counts(docs, n_buckets).collect()
+    )
+    tc_rows = sorted(
+        (r.bucket, r.cnt)
+        for r in ngram_bucket_counts(target, n_buckets).collect()
+    )
+    counts_s = time.time() - t0
+
+    sql = """
+WITH t AS (
+  SELECT doc_id, list_filter(
+           regexp_split_to_array(coalesce(text, ''), '[ \\n\\t\\r]+'),
+           w -> w <> '') AS ws
+  FROM documents {where}
+),
+grams AS (
+  SELECT unnest(ws) AS gram FROM t
+  UNION ALL
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))
+  FROM t
+)
+SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT % {n} AS bucket,
+       count(*)::BIGINT AS cnt
+FROM grams GROUP BY 1"""
+    t0 = time.time()
+    want_sc = sorted(
+        tuple(r)
+        for r in duck.execute(sql.format(where="", n=n_buckets)).fetchall()
+    )
+    want_tc = sorted(
+        tuple(r)
+        for r in duck.execute(
+            sql.format(where="WHERE doc_id % 5 = 0", n=n_buckets)
+        ).fetchall()
+    )
+    duck_s = time.time() - t0
+    assert sc_rows == want_sc and tc_rows == want_tc
+
+    table = dsir_log_table(sc_rows, tc_rows, n_buckets)
+    lut = dict(table)
+    t0 = time.time()
+    w = {
+        r.doc_id: (r.n_feats, r.weight_milli)
+        for r in dsir_weights(docs, table, n_buckets).collect()
+    }
+    weights_s = time.time() - t0
+    sample = {
+        r.doc_id: r.text
+        for r in docs.filter(F.col("doc_id") % 167 == 0).collect()
+    }
+    for doc_id, text in sample.items():
+        words = [x for x in _re.split(r"[ \n\t\r]+", text or "") if x]
+        grams = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+        if not grams:
+            assert doc_id not in w
+            continue
+        want = sum(
+            lut[int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets]
+            for g in grams
+        )
+        assert w[doc_id] == (len(grams), want)
+    print(
+        f"\n[sf1.0] dsir: docs={docs.count()} buckets={n_buckets} "
+        f"counts={counts_s:.1f}s weights={weights_s:.1f}s "
+        f"oracle={duck_s:.1f}s sampled={len(sample)}"
+    )
+    assert len(sample) > 100
