@@ -336,3 +336,52 @@ def robots_flags(
     ).mapInArrow(
         run, "url string, robots_noindex boolean, robots_nofollow boolean"
     )
+
+
+def canonical_urls(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, canonical) — the page's declared rel=canonical target ('' if
+    none).  Same one-Arrow-pass shape as extract_links; pycore
+    (pycore/canonical.py) is the single source of truth."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..pycore.canonical import canonical_url
+
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
+            canon = [canonical_url(h or b"") for h in htmls]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(canon, pa.string())],
+                ["url", "canonical"],
+            )
+
+    rows = pages.select(F.col(url_col).alias("url"), F.col(html_col).alias("html"))
+    return rows.mapInArrow(run, "url string, canonical string")
+
+
+def canonical_groups(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(canon_key, n_pages, representative): pages collapsed onto their
+    declared canonical target — the dedup the web hands you for free,
+    run BEFORE content hashing so variant URLs (tracking params,
+    pagination, mirrors) never reach the byte-level dedups.  canon_key is
+    the declared target when present else the page's own url; the
+    representative is the url that IS its own canonical when one exists
+    (else min url, deterministic).  One shuffle, map-side combined."""
+    c = canonical_urls(pages, url_col, html_col)
+    keyed = c.select(
+        F.when(F.col("canonical") != "", F.col("canonical"))
+        .otherwise(F.col("url"))
+        .alias("canon_key"),
+        "url",
+    )
+    return keyed.groupBy("canon_key").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.coalesce(
+            F.min(F.when(F.col("url") == F.col("canon_key"), F.col("url"))),
+            F.min("url"),
+        ).alias("representative"),
+    )
