@@ -371,6 +371,140 @@ def warc_fused_main(cpus: int = HI) -> None:
     }))
 
 
+
+def frontier_worker(threads: int, path: str) -> None:
+    """Times one robots-gate pass over the page corpus's urls: synthesize
+    a deterministic 1,000-host robots table (rule mixes with wildcards and
+    anchors), parse once (host-sized Arrow), then apply_robots over the
+    URL column — the URL-sized work is the JVM LIKE/array path the
+    operator claims is scan-stage."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.robotsfrontier import (
+        apply_robots,
+        robots_rules,
+    )
+    from image_ocr_spark.session import get_spark
+
+    extra = {"spark.driver.memory": "12g",
+             "spark.driver.extraJavaOptions": "-Xms12g -XX:+UseG1GC"}
+    spark = get_spark(
+        f"local[{threads}]",
+        app_name=f"bench-frontier-{threads}",
+        shuffle_partitions=threads,
+        extra_conf=extra,
+    )
+    n_hosts = 1000
+    txt = (
+        "User-agent: trainbot\n"
+        "Disallow: /private/\n"
+        "Allow: /private/public*\n"
+        "Disallow: /*.tmp$\n"
+        "Disallow: /cgi-bin/\n"
+        "Allow: /cgi-bin/ok*\n"
+        "Disallow: /*session=*\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    robots = spark.range(n_hosts).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example")).alias("host"),
+        F.when(F.col("id") % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit(txt))
+        .alias("robots_txt"),
+    )
+    rules = robots_rules(robots, agent="trainbot/1.0").persist()
+    rules.count()
+    pages = spark.read.parquet(path)
+    urls = pages.select(
+        F.col("url"),
+        F.concat(
+            F.lit("h"),
+            F.abs(F.hash("url")) % n_hosts,
+            F.lit(".example"),
+        ).alias("host"),
+        # remap each url's path onto the rule branches deterministically
+        F.element_at(
+            F.array(
+                F.lit("/private/x"),
+                F.concat(F.lit("/private/public"), F.abs(F.hash("url"))),
+                F.concat(F.lit("/f"), F.abs(F.hash("url")), F.lit(".tmp")),
+                F.lit("/cgi-bin/run"),
+                F.lit("/cgi-bin/ok1"),
+                F.concat(F.lit("/p?session="), F.abs(F.hash("url"))),
+                F.concat(F.lit("/ok/"), F.abs(F.hash("url"))),
+                F.lit("/"),
+            ),
+            (F.abs(F.hash("url")) % 8 + 1).cast("int"),
+        ).alias("path"),
+    ).select(
+        "host",
+        F.concat(F.lit("http://"), F.col("host"), F.col("path")).alias("url"),
+    )
+
+    def one_pass() -> float:
+        df = apply_robots(urls, rules).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("robots_allowed").cast("long")).alias("allowed"),
+        )
+        df._jdf.queryExecution().executedPlan()
+        t0 = time.time()
+        df.collect()
+        return time.time() - t0
+
+    one_pass()
+    print(json.dumps({"ready": True}), flush=True)
+    for line in sys.stdin:
+        if line.strip() != "go":
+            break
+        print(json.dumps({"t": one_pass()}), flush=True)
+    spark.stop()
+
+
+def frontier_scaling_main() -> None:
+    """N-vs-4N scaling for the robots gate over 600k urls (the frontier
+    family's URL-sized hot path) — same disjoint-pinned-core
+    coinciding-window methodology as the flagship."""
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    meta = prepare_pages()
+    ncpu = os.cpu_count() or 1
+    if ncpu >= LO + HI:
+        lo_cores, hi_cores = f"0-{LO - 1}", f"{LO}-{LO + HI - 1}"
+    else:
+        lo_cores = f"0-{min(LO, ncpu) - 1}"
+        hi_cores = f"0-{min(HI, ncpu) - 1}"
+    path = pages_path()
+    lo_w = PinnedWorker(LO, lo_cores, path, mode="--frontier-worker")
+    hi_w = PinnedWorker(HI, hi_cores, path, mode="--frontier-worker")
+    lo_w.wait_ready()
+    hi_w.wait_ready()
+    ratio = max(1, HI // LO)
+    best = {LO: float("inf"), HI: float("inf")}
+    effs = []
+    for _ in range(4):
+        lo_w.go()
+        his = [hi_w.ask() for _ in range(ratio)]
+        t_lo = lo_w.read_t()
+        t_hi = min(his)
+        best[LO] = min(best[LO], t_lo)
+        best[HI] = min(best[HI], t_hi)
+        effs.append((t_lo / t_hi) / ratio)
+    lo_w.close()
+    hi_w.close()
+    effs.sort()
+    n = meta["docs"]
+    print(json.dumps({
+        "metric": f"frontier_robots_gate_scaling_{_sf_tag()}",
+        "unit": "sec",
+        "lo_cpus": LO,
+        "hi_cpus": HI,
+        "lo_s": round(best[LO], 3),
+        "hi_s": round(best[HI], 3),
+        "urls": n,
+        "urls_per_sec_hi": round(n / best[HI], 1),
+        "scaling_efficiency": round(effs[len(effs) // 2], 3),
+        "scaling_samples": [round(e, 3) for e in effs],
+    }))
+
+
 class PinnedWorker:
     """Pinned subprocess running `worker`; one timed pass per ask()."""
 
@@ -778,6 +912,12 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--pairs-scaling":
         pairs_scaling_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--frontier-worker":
+        frontier_worker(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--frontier":
+        frontier_scaling_main()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--warc-worker":
         warc_worker(int(sys.argv[2]), sys.argv[3])
