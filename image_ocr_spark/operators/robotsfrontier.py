@@ -38,7 +38,7 @@ _RULES_TYPE = pa.list_(
 )
 
 
-def _parse_batches(agent: str):
+def _parse_batches(agent: str, max_rules: int):
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..pycore.robotstxt import parse_robots_txt, select_group, to_like
 
@@ -59,7 +59,12 @@ def _parse_batches(agent: str):
                             "like_pat": to_like(pat),
                             "plen": len(pat),
                         }
-                        for is_allow, pat in rules
+                        # first max_rules win: every URL of the host pays
+                        # O(|rules|) per verdict, so an adversarial
+                        # million-rule robots.txt must not set that cost
+                        # (real parsers bound the same way — Google stops
+                        # reading at 500 KiB)
+                        for is_allow, pat in rules[:max_rules]
                     ]
                 )
             yield pa.RecordBatch.from_arrays(
@@ -75,14 +80,16 @@ def robots_rules(
     agent: str = "*",
     host_col: str = "host",
     txt_col: str = "robots_txt",
+    max_rules: int = 5000,
 ) -> DataFrame:
     """(host, rules): the crawler-selected rule group per host, rule
-    paths pre-compiled to LIKE patterns.  Scan-stage, zero shuffle; the
-    output is host-count-sized."""
+    paths pre-compiled to LIKE patterns, capped at ``max_rules`` per host
+    (first rules win — the adversarial-robots bound every real parser
+    applies).  Scan-stage, zero shuffle; output is host-count-sized."""
     rows = robots.select(
         F.col(host_col).alias("host"), F.col(txt_col).alias("robots_txt")
     )
-    return rows.mapInArrow(_parse_batches(agent), RULES_DDL)
+    return rows.mapInArrow(_parse_batches(agent, max_rules), RULES_DDL)
 
 
 def url_path(url: Column) -> Column:

@@ -242,3 +242,25 @@ def test_extras_and_host_meta(spark):
         "h2": (0, []),
         "h3": (0, []),
     }
+
+
+def test_rule_cap_bounds_adversarial_robots(spark):
+    """A million-rule robots.txt must not make every URL of the host pay
+    O(rules): the parse keeps the first max_rules (real parsers bound the
+    same way), and verdicts from the kept prefix still apply."""
+    txt = "User-agent: *\n" + "".join(
+        f"Disallow: /junk{i}/\n" for i in range(2000)
+    )
+    robots = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    capped = robots_rules(robots, agent="anybot", max_rules=100)
+    rows = capped.collect()[0].rules
+    assert len(rows) == 100 and rows[0].like_pat == "/junk0/%"
+    urls = spark.createDataFrame(
+        [("h", "http://h/junk5/x"), ("h", "http://h/junk1999/x")],
+        "host string, url string",
+    )
+    got = {r.url: r.robots_allowed for r in apply_robots(urls, capped).collect()}
+    assert got == {
+        "http://h/junk5/x": False,      # inside the kept prefix
+        "http://h/junk1999/x": True,    # beyond the cap: fail-open
+    }
