@@ -264,3 +264,33 @@ def test_rule_cap_bounds_adversarial_robots(spark):
         "http://h/junk5/x": False,      # inside the kept prefix
         "http://h/junk1999/x": True,    # beyond the cap: fail-open
     }
+
+
+def test_parsers_never_raise_on_fuzzed_bytes():
+    """Deterministic fuzz: hashlib-derived byte soup, markup fragments,
+    and truncated real inputs through all three frontier parsers — the
+    never-raise policy the tokenizer's fuzz tests pin, applied here."""
+    import hashlib
+
+    from image_ocr_spark.pycore.canonical import canonical_url
+    from image_ocr_spark.pycore.robotstxt import (
+        parse_robots_extras,
+        parse_robots_txt,
+    )
+    from image_ocr_spark.pycore.sitemap import parse_sitemap
+
+    seeds = []
+    for i in range(64):
+        blob = hashlib.sha256(bytes([i])).digest() * 8
+        seeds.append(blob)
+        seeds.append(blob.replace(b"\x00", b"<"))
+    frags = [
+        b"<link rel=", b"<urlset><url><loc>", b"User-agent: \xff\xfe",
+        _FIXTURE.encode()[:37], b"<sitemap",
+    ]
+    for raw in seeds + frags:
+        txt = raw.decode("latin-1")
+        assert isinstance(parse_robots_txt(txt), dict)
+        assert isinstance(parse_robots_extras(txt), tuple)
+        assert isinstance(parse_sitemap(txt), dict)
+        assert isinstance(canonical_url(raw), str)
