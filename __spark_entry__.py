@@ -2046,8 +2046,9 @@ resolved AS (
 branched AS (
   SELECT src_host,
     CASE
-      WHEN hr = '' OR lower(hr) LIKE 'mailto:%' OR lower(hr) LIKE 'javascript:%'
-           OR lower(hr) LIKE 'data:%' OR lower(hr) LIKE 'tel:%' OR hr LIKE '#%'
+      WHEN hr = '' OR hr LIKE '#%'
+           OR (regexp_matches(hr, '^[A-Za-z][A-Za-z0-9+.-]*:')
+               AND regexp_extract(hr, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '')
         THEN NULL
       WHEN regexp_extract(hr, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> '' THEN
         CASE lower(regexp_extract(hr, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))

@@ -11,7 +11,7 @@ builds that signal from raw pages in three composable stages:
    single-source-of-truth discipline as the tokenizer.  Scan-stage only.
 2. **resolve_edges(links)** — (src_host, dst_host) per link: pure SQL
    string expressions (absolute http(s), protocol-relative, and
-   site-relative hrefs; mailto:/javascript:/data:/tel:/#-only dropped;
+   site-relative hrefs; ALL '://'-less scheme hrefs and #-only dropped;
    scheme-specific default-port strip shared with functions/urls.py).
    DuckDB replays every branch bit-for-bit (tests/test_linkgraph.py).
 3. **host_rank(edges)** — damped PageRank over the host multigraph in
@@ -124,7 +124,8 @@ def resolve_edges(
     (scan stage, shuffle-free, DuckDB-replayable).
 
     Branches, in order:
-    - non-navigational schemes (mailto:, javascript:, data:, tel:) and
+    - non-navigational schemes (any '^scheme:' href without '://':
+      mailto:, javascript:, data:, tel:, skype:, about:, ...) and
       fragment-only hrefs -> dropped;
     - absolute http(s)://host/...  -> dst = lowercased host, scheme's
       default port stripped;
@@ -137,7 +138,6 @@ def resolve_edges(
     Rows whose src url has no parseable host are dropped.
     """
     href = F.btrim(F.col(href_col))
-    low = F.lower(href)
     src_scheme = F.lower(F.regexp_extract(F.col(url_col), "^([A-Za-z]+)://", 1))
     src_host = F.lower(
         F.regexp_extract(F.col(url_col), "^[A-Za-z]+://([^/?#]+)", 1)
@@ -150,13 +150,18 @@ def resolve_edges(
     abs_host = F.lower(F.regexp_extract(href, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
     proto_rel_host = F.lower(F.regexp_extract(href, "^//([^/?#]+)", 1))
 
+    # Any scheme-prefixed href WITHOUT '://' is non-navigational for the
+    # host graph (mailto:, javascript:, data:, tel:, but also skype:,
+    # news:, about:blank, ...) — a fixed allowdeny list let the long tail
+    # fall through to the site-relative branch and self-link the source
+    # host.  RFC 3986: a relative reference cannot contain ':' in its
+    # first path segment, so the colon test cannot misfire on one.
+    # Scheme'd '://' hrefs are branched below (http/https kept, others
+    # dropped there).
     dropped = (
         (href == "")
-        | low.startswith("mailto:")
-        | low.startswith("javascript:")
-        | low.startswith("data:")
-        | low.startswith("tel:")
         | href.startswith("#")
+        | (href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:") & (href_scheme == ""))
     )
     dst = (
         F.when(

@@ -141,15 +141,23 @@ def to_like(pattern: str) -> str:
     anchored = pattern.endswith("$")
     body = pattern[:-1] if anchored else pattern
     out = []
+    # Track whether the LAST emitted token is an UNESCAPED '%' (i.e. came
+    # from '*').  A literal '%' compiles to '\%' and a literal '\' before
+    # '*' compiles to '\\%' (escaped backslash + live wildcard), so a
+    # textual endswith('%') test over-matches; the flag is exact.
+    last_is_wild = False
     for ch in body:
         if ch == "*":
             out.append("%")
+            last_is_wild = True
         elif ch in ("%", "_", "\\"):
             out.append("\\" + ch)
+            last_is_wild = False
         else:
             out.append(ch)
+            last_is_wild = False
     like = "".join(out)
-    if not anchored and not like.endswith("%"):
+    if not anchored and not last_is_wild:
         like += "%"
     return like
 

@@ -133,13 +133,15 @@ def build_warc_gz(records: List[bytes]) -> bytes:
 # ---------------------------------------------------------------------------
 # Parser
 # ---------------------------------------------------------------------------
-def _split_headers(block: bytes) -> Tuple[Dict[str, str], int]:
-    """Parse CRLF header lines from `block` up to the blank line; returns
-    (lowercased name -> value, offset just past the blank line).  Simple
-    obs-fold continuations (leading SP/HT) append to the previous value.
-    Returns offset -1 if no blank line terminates the headers."""
+def _split_headers(block: bytes, start: int = 0) -> Tuple[Dict[str, str], int]:
+    """Parse CRLF header lines from `block[start:]` up to the blank line,
+    scanning IN PLACE (no tail copy — a per-record `data[eol+2:]` slice
+    made a many-record chunk O(records × chunk_bytes) in memcpy); returns
+    (lowercased name -> value, ABSOLUTE offset just past the blank line).
+    Simple obs-fold continuations (leading SP/HT) append to the previous
+    value.  Returns offset -1 if no blank line terminates the headers."""
     headers: Dict[str, str] = {}
-    pos = 0
+    pos = start
     last: Optional[str] = None
     while True:
         eol = block.find(_CRLF, pos)
@@ -220,11 +222,11 @@ def parse_warc(data: bytes) -> Dict[str, object]:
         if eol < 0:
             truncated = True
             break
-        headers, hoff = _split_headers(data[eol + 2 :])
+        headers, hoff = _split_headers(data, eol + 2)
         if hoff < 0:
             truncated = True
             break
-        body_start = eol + 2 + hoff
+        body_start = hoff
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:

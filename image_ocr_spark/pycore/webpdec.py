@@ -153,11 +153,15 @@ class _PrefixDecoder:
             return
         self.single = None
         codes = _canonical_codes(lengths)
-        # validate the code is full/consistent (Kraft equality not required
-        # by the spec for simple cases, but over-subscription is an error)
+        # validate the code is COMPLETE: a multi-symbol canonical prefix
+        # code must satisfy Kraft equality.  Over-subscription makes
+        # decoding ambiguous; under-subscription (incomplete code) means
+        # some bit sequences decode to nothing — spec-conformant decoders
+        # reject both, and accepting incomplete codes let some invalid
+        # VP8L streams decode to pixels instead of raising.
         kraft = sum(1 / (1 << l) for _, (c, l) in codes.items())
-        if kraft > 1.0 + 1e-9:
-            raise ValueError("over-subscribed prefix code")
+        if abs(kraft - 1.0) > 1e-9:
+            raise ValueError("incomplete or over-subscribed prefix code")
         self.table = {(c, l): s for s, (c, l) in codes.items()}
         self.max_len = max(l for _, (c, l) in codes.items())
 

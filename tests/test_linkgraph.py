@@ -92,6 +92,12 @@ LINK_ROWS = [
     ("http://src.example/a", "tel:+1555"),
     ("http://src.example/a", "data:text/plain,hi"),
     ("http://src.example/a", "#frag-only"),
+    # long-tail '://'-less schemes: must drop, never self-link (r06 fix)
+    ("http://src.example/a", "skype:someone?call"),
+    ("http://src.example/a", "news:comp.lang.python"),
+    ("http://src.example/a", "about:blank"),
+    ("http://src.example/a", "MAILTO:CAPS@b.c"),
+    ("http://src.example/a", "./seg:colon-later"),
     ("not-a-url", "/x"),
 ]
 
@@ -124,8 +130,9 @@ WITH resolved AS (
 ), branched AS (
   SELECT src_host,
     CASE
-      WHEN h = '' OR lower(h) LIKE 'mailto:%' OR lower(h) LIKE 'javascript:%'
-           OR lower(h) LIKE 'data:%' OR lower(h) LIKE 'tel:%' OR h LIKE '#%'
+      WHEN h = '' OR h LIKE '#%'
+           OR (regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:')
+               AND regexp_extract(h, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '')
         THEN NULL
       WHEN regexp_extract(h, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> '' THEN
         CASE lower(regexp_extract(h, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
@@ -383,7 +390,10 @@ WITH resolved AS (
   FROM links
 ), branched AS (
   SELECT CASE
-      WHEN h = '' OR lower(h) LIKE 'mailto:%' OR h LIKE '#%' THEN NULL
+      WHEN h = '' OR h LIKE '#%'
+           OR (regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:')
+               AND regexp_extract(h, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '')
+        THEN NULL
       WHEN regexp_extract(h, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> ''
         THEN regexp_replace(lower(regexp_extract(h, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(80|443)$', '')
       WHEN h LIKE '//%' THEN lower(regexp_extract(h, '^//([^/?#]+)', 1))

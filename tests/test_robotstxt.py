@@ -195,6 +195,41 @@ def test_duckdb_replays_like_verdict(spark, frontier):
     assert got == want and len(got) > 0
 
 
+def test_to_like_trailing_metachar_parity():
+    """to_like must keep prefix semantics when a rule ends in a LIKE
+    metacharacter that gets escaped: '/foo%' is a PREFIX rule per RFC
+    9309 (the % is literal), so the compiled LIKE needs a trailing live
+    '%'.  Conversely '/foo\\*' ends in a live wildcard ('\\\\%') and must
+    NOT get a redundant-but-harmless extra one treated as escaped.
+    Verify every (pattern, path) cell agrees between pycore _match and
+    DuckDB LIKE on the compiled string."""
+    patterns = [
+        "/foo%",        # trailing literal % -> prefix rule
+        "/foo_",        # trailing literal _ -> prefix rule
+        "/foo\\",       # trailing literal backslash -> prefix rule
+        "/foo\\*",      # literal backslash then wildcard
+        "/foo%$",       # anchored literal %
+        "/foo*",        # trailing wildcard
+        "/fo%o",        # interior literal %
+        "/a_b%c\\d",    # all three metachars interior
+    ]
+    paths = [
+        "/foo%", "/foo%bar", "/foo", "/foox", "/foo_", "/foo_tail",
+        "/foo\\", "/foo\\tail", "/fooX", "/fo%o/z", "/a_b%c\\d/e",
+        "/a-b-c-d", "/", "/foo*lit",
+    ]
+    con = duckdb.connect()
+    for pat in patterns:
+        like = to_like(pat)
+        for path in paths:
+            want = _match(pat, path)
+            got = con.execute(
+                "SELECT ? LIKE ? ESCAPE '\\'", [path, like]
+            ).fetchone()[0]
+            assert got == want, (pat, like, path, got, want)
+    con.close()
+
+
 def test_url_path_extraction(spark):
     df = spark.createDataFrame(
         [

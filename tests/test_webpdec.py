@@ -55,6 +55,22 @@ def test_roundtrip_simple_codes():
         assert webp_decode(webp_encode(6, 4, ch, const)) == (6, 4, ch, const)
 
 
+def test_prefix_code_completeness():
+    """Multi-symbol prefix codes require Kraft EQUALITY: over-subscribed
+    ({1,1,1}) and under-subscribed/incomplete ({2,2,2} — kraft 3/4) sets
+    both raise; a complete set ({1,2,2}) builds."""
+    from image_ocr_spark.pycore.webpdec import _PrefixDecoder
+
+    _PrefixDecoder([1, 2, 2])  # complete: must not raise
+    _PrefixDecoder([0, 0, 5])  # single-symbol form: any length ok
+    with pytest.raises(ValueError):
+        _PrefixDecoder([1, 1, 1])  # over-subscribed
+    with pytest.raises(ValueError):
+        _PrefixDecoder([2, 2, 2])  # incomplete (previously accepted)
+    with pytest.raises(ValueError):
+        _PrefixDecoder([1, 2])  # incomplete two-symbol normal code
+
+
 def test_distance_map_spec_invariants():
     """120 unique neighbor offsets, sorted by squared distance, within
     the spec's 8x7 window."""
