@@ -7,10 +7,12 @@ of new-against-old shuffles BOTH snapshots on the content key — at
 with a one-time sketch of the old snapshot plus a shuffle-free scan of
 the new one:
 
-- **build** — each old key sets k bit positions in an m-bit bitmap.  The
-  distinct-position relation is bounded by m (NOT by |old|), so driver
-  traffic is at most m/8 bytes regardless of history size; the bitmap
-  ships once per executor as a Spark broadcast.
+- **build** — each old key sets k bit positions in an m-bit bitmap.
+  Positions are hash-grouped by bitmap SEGMENT and packed into byte
+  chunks executor-side (one applyInPandas shuffle), so the driver
+  receives exactly m/8 payload bytes — packed bits, never position
+  rows — regardless of history size; the bitmap ships once per
+  executor as a Spark broadcast.
 - **probe** — every new row computes its k positions in the scan stage
   (JVM md5 expressions) and a vectorized Arrow pass tests the bits:
   all-set -> "maybe seen", any-clear -> **definitely new** (a bloom
@@ -54,6 +56,11 @@ from image_ocr_spark.operators.dedup import hash60
 # the fixture corpora.  Production sizing is m ~= 16 * |old| bits.
 DEFAULT_M_BITS = 1 << 20
 DEFAULT_K = 7
+# Build-stage segment width: each applyInPandas group packs one 1 MiB
+# bitmap slice.  At production sizing (m = 16n bits) a segment's group
+# holds ~ k*seg_bits/16 ~= 3.7M position rows INDEPENDENT of snapshot
+# size (segment count grows with n), so per-task memory is bounded.
+DEFAULT_SEG_BITS = 1 << 23
 
 
 def bloom_positions_col(
@@ -94,17 +101,53 @@ def bloom_build(
     key_col: str = "text",
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
+    seg_bits: int = DEFAULT_SEG_BITS,
 ):
     """numpy uint8 bitmap (m_bits/8 bytes, little-endian bit order within
-    each byte) with every position of every key in ``df`` set.  Driver
-    traffic = the distinct-position rows (<= m_bits), NOT the snapshot."""
-    import numpy as np
+    each byte) with every position of every key in ``df`` set.
 
-    rows = bloom_position_rows(df, key_col, m_bits, k).collect()
+    Scale shape: ONE shuffle of the raw (pos, seg) relation, grouped by
+    bitmap segment; each group packs its seg_bits-wide slice into bytes
+    EXECUTOR-side (OR is idempotent, so no distinct pass is needed), and
+    the driver receives exactly m_bits/8 payload bytes of packed chunks —
+    never position Rows.  (The previous row-collect build materialized
+    ~0.3*m_bits driver Row objects at 16-bits/key density — ~400x the
+    byte payload; tests/test_bloom.py pins bitmap equality against that
+    formulation.)  Per-task memory is one slice + its group's rows,
+    which at production sizing (m ~= 16n) is ~k*seg_bits/16 rows
+    independent of snapshot size."""
+    import numpy as np
+    import pandas as pd
+
+    if m_bits % 8 or seg_bits % 8:
+        raise ValueError("m_bits and seg_bits must be multiples of 8")
+    seg_bits = min(seg_bits, m_bits)
+    seg_bytes = seg_bits // 8
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["seg"].iloc[0])
+        base = s * seg_bits
+        hi = min(seg_bits, m_bits - base)  # last segment may be short
+        rel = pdf["pos"].to_numpy(dtype=np.int64) - base
+        chunk = np.zeros(hi // 8, dtype=np.uint8)
+        np.bitwise_or.at(chunk, rel >> 3, np.uint8(1) << (rel & 7).astype(np.uint8))
+        return pd.DataFrame({"seg": [s], "chunk": [chunk.tobytes()]})
+
+    pos = df.select(
+        F.explode(bloom_positions_col(F.col(key_col), m_bits, k)).alias("pos")
+    )
+    packed = (
+        pos.withColumn("seg", F.expr(f"pos div {seg_bits}"))
+        .groupBy("seg")
+        .applyInPandas(pack, "seg long, chunk binary")
+    )
     bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
-    if rows:
-        pos = np.fromiter((r.pos for r in rows), dtype=np.int64, count=len(rows))
-        np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    # toLocalIterator streams chunk rows (m/8 bytes total) instead of
+    # holding a second full copy next to the bitmap during a collect
+    for row in packed.toLocalIterator():
+        off = row.seg * seg_bytes
+        arr = np.frombuffer(row.chunk, dtype=np.uint8)
+        bitmap[off : off + len(arr)] = arr
     return bitmap
 
 

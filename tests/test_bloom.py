@@ -82,6 +82,25 @@ def test_build_positions_match_oracle(spark, documents):
     assert 0 < len(got) < M_BITS
 
 
+def test_segmented_build_equals_row_collect_build(spark, documents):
+    """The executor-side packed build (r06: driver receives m/8 chunk
+    bytes, never position Rows) is bit-identical to the row-collect
+    formulation it replaced, at segment widths that exercise one
+    segment, many segments, and a SHORT last segment (seg not dividing
+    m).  bloom_position_rows stays the DuckDB oracle twin."""
+    import numpy as np
+
+    old, _ = _snapshots(spark, documents)
+    rows = bloom_position_rows(old, "text", M_BITS, K).collect()
+    want = np.zeros(M_BITS // 8, dtype=np.uint8)
+    pos = np.fromiter((r.pos for r in rows), dtype=np.int64, count=len(rows))
+    np.bitwise_or.at(want, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    for seg_bits in (M_BITS, 1 << 13, 24_000):  # 1 seg / 8 segs / short tail
+        got = bloom_build(old, "text", M_BITS, K, seg_bits=seg_bits)
+        assert np.array_equal(got, want), seg_bits
+    assert want.any()
+
+
 def test_probe_matches_oracle(spark, documents):
     old, new = _snapshots(spark, documents)
     bitmap = bloom_build(old, "text", M_BITS, K)
