@@ -1117,6 +1117,266 @@ def q_stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r06 rotation: crawl-frontier / curation family driver rows.  Fixture
+# geometry is synthesized from doc_id by closed-form expressions, so the
+# DuckDB oracle can restate the EXPECTED output from the same formula —
+# equality then proves the whole Spark chain (parse + compile + verdict /
+# XML parse / collapse / composition), the media_features discipline.
+# ---------------------------------------------------------------------------
+
+_RG_HOSTS = 19
+_RG_ROBOTS = (
+    "User-agent: trainbot\n"
+    "Disallow: /private/\n"
+    "Allow: /private/public*\n"
+    "Disallow: /*.tmp$\n"
+    "Disallow: /cgi%bin/_x\n"
+    "User-agent: *\n"
+    "Disallow: /\n"
+)
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots gate end to end (pycore/robotstxt.py +
+    operators/robotsfrontier.py): per-host robots.txt parsed once in a
+    host-sized Arrow stage, per-url verdict as JVM LIKE + array_max.
+    Paths hit every rule branch: prefix disallow, longest-match allow
+    override, $-anchored wildcard, literal %/_ LIKE metachars, and
+    hosts with no robots.txt (default allow).  Oracle restates the
+    verdict closed-form from the synthesis."""
+    from image_ocr_spark.operators.robotsfrontier import apply_robots, robots_rules
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    hid = F.col("doc_id") % _RG_HOSTS
+    host = F.concat(F.lit("h"), hid.cast("string"), F.lit(".example"))
+    k = F.col("doc_id") % 6
+    path = (
+        F.when(k == 0, F.concat(F.lit("/private/secret"), sid))
+        .when(k == 1, F.concat(F.lit("/private/public"), sid))
+        .when(k == 2, F.concat(F.lit("/f"), sid, F.lit(".tmp")))
+        .when(k == 3, F.concat(F.lit("/f"), sid, F.lit(".tmp.txt")))
+        .when(k == 4, F.lit("/cgi%bin/_x"))
+        .otherwise(F.concat(F.lit("/ok/"), sid))
+    )
+    urls = d.select(host.alias("host"), F.concat(F.lit("http://"), host, path).alias("url"))
+    robots = (
+        d.select(hid.alias("hid"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("hid").cast("string"), F.lit(".example")).alias("host"),
+            F.when(F.col("hid") % 3 != 0, F.lit(_RG_ROBOTS))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("robots_txt"),
+        )
+    )
+    rules = robots_rules(robots, agent="trainbot/1.2")
+    return apply_robots(urls, rules).select("url", "robots_allowed")
+
+
+_SM_HOSTS = 11
+
+
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parse (pycore/sitemap.py via sitemap_entries): each
+    doc contributes one <url> block (or a <sitemap> index block for
+    doc_id%5==4) to its host's XML; the parse must invert the generator —
+    entity unescape (&amp;), changefreq vocabulary gate (bogus ->
+    ''), priority milli quantization, index entries with zeroed url
+    fields."""
+    from image_ocr_spark.operators.robotsfrontier import sitemap_entries
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    hid = (F.col("doc_id") % _SM_HOSTS).cast("string")
+    host = F.concat(F.lit("h"), hid, F.lit(".example"))
+    freq = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("daily"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("WEEKLY"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("sometimes"))  # invalid -> ''
+        .otherwise(F.lit("never"))
+    )
+    url_block = F.concat(
+        F.lit("<url><loc>http://h"), hid, F.lit(".example/d"), sid,
+        F.lit("?a=1&amp;b=2</loc><lastmod>2026-01-15</lastmod><changefreq>"),
+        freq,
+        F.lit("</changefreq><priority>0."), (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    sm_block = F.concat(
+        F.lit("<sitemap><loc>http://h"), hid, F.lit(".example/s"), sid,
+        F.lit(".xml</loc><lastmod>2026-02-02</lastmod></sitemap>"),
+    )
+    block = F.when(F.col("doc_id") % 5 == 4, sm_block).otherwise(url_block)
+    sitemaps = (
+        d.select(host.alias("host"), block.alias("block"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"), F.concat_ws("", F.collect_list("block")), F.lit("</urlset>")
+            ).alias("sitemap_xml")
+        )
+    )
+    return sitemap_entries(sitemaps)
+
+
+def q_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical collapse (operators/linkgraph.py canonical_groups):
+    docs form triples sharing a host — the base declares itself
+    canonical, the +1 variant points at the base, the +2 page has only a
+    commented-out decoy link (must be ignored; its own url is its key).
+    One map-combined shuffle; representative = the self-canonical url
+    when present else min url."""
+    from image_ocr_spark.operators.linkgraph import canonical_groups
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    g7 = ((F.col("doc_id") - F.col("doc_id") % 3) / 3).cast("long") % 7
+    mkurl = lambda id_col: F.concat(
+        F.lit("http://h"), g7.cast("string"), F.lit(".example/p"), id_col
+    )
+    url = mkurl(sid)
+    base_url = mkurl((F.col("doc_id") - F.col("doc_id") % 3).cast("string"))
+    m = F.col("doc_id") % 3
+    html = (
+        F.when(m == 0, F.concat(F.lit('<link rel="canonical" href="'), url, F.lit('"><p>base</p>')))
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('<link rel="canonical" href="'), base_url,
+                F.lit('"><link rel="canonical" href="'), url, F.lit('"><p>first wins</p>'),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit('<!-- <link rel="canonical" href="'), base_url, F.lit('"> --><p>solo</p>'))
+        )
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return canonical_groups(pages)
+
+
+def q_script_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script histograms (functions/scripts.py): fixture text
+    salted with per-doc script-diverse suffixes so every interval family
+    fires; per-script counts, dominant script with list-order tie-break,
+    integer milli share.  Scan-stage expressions on both engines — the
+    oracle recomputes the same explicit codepoint classes with
+    regexp_extract_all."""
+    from image_ocr_spark.functions.scripts import script_columns
+
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id") % 7
+    suffix = (
+        F.when(k == 1, F.lit(" Привет мир"))
+        .when(k == 2, F.lit(" 日本語のテキスト"))
+        .when(k == 3, F.lit(" 한국어 텍스트"))
+        .when(k == 4, F.lit(" مرحبا بالعالم"))
+        .when(k == 5, F.lit(" हिन्दी पाठ"))
+        .when(k == 6, F.lit(" ελληνικά νερό"))
+        .otherwise(F.lit(""))
+    )
+    t = F.concat(F.coalesce(F.col("text"), F.lit("")), suffix)
+    return d.select("doc_id", *script_columns(t))
+
+
+_DSIR_BUCKETS = 512
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py, Xie NeurIPS'23):
+    hashed unigram+bigram bucket counts for source (all docs) and target
+    (doc_id%5==0), Laplace-smoothed log-ratio table quantized to integer
+    milli-nats driver-side, per-doc weight = exact integer sum of bucket
+    scores.  The oracle recomputes the whole chain in DuckDB — the one
+    float (ln) agrees bit-for-bit because both engines call the host
+    libm on identical doubles (300k-trial check, r06)."""
+    from image_ocr_spark.operators.dsir import (
+        dsir_log_table,
+        dsir_weights,
+        ngram_bucket_counts,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    sc = [(r.bucket, r.cnt) for r in ngram_bucket_counts(docs, _DSIR_BUCKETS).collect()]
+    tc = [(r.bucket, r.cnt) for r in ngram_bucket_counts(target, _DSIR_BUCKETS).collect()]
+    table = dsir_log_table(sc, tc, _DSIR_BUCKETS)
+    return dsir_weights(docs, table, _DSIR_BUCKETS)
+
+
+_FS_HOSTS = 13
+_FS_ROBOTS = (
+    "User-agent: trainbot\n"
+    "Disallow: /private/\n"
+    "Crawl-delay: 1.5\n"
+    "User-agent: *\n"
+    "Disallow: /\n"
+)
+
+
+def q_frontier_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier-side corpus_select: sitemap discovery -> URL
+    canonicalization -> robots gate -> crawled-history bloom dedup
+    (exact, confirm=True) -> per-host politeness join, composed exactly
+    as tests/test_frontier_compose.py proves stage-by-stage.  Survivors
+    are the doc_id%3==0 public pages in canonical form; %3==1 is
+    robots-gated (/private/), %3==2 collapses onto the host's /dup url
+    which the history already contains."""
+    from image_ocr_spark.functions.urls import normalize_url
+    from image_ocr_spark.operators.bloom import incremental_new
+    from image_ocr_spark.operators.robotsfrontier import (
+        apply_robots,
+        robots_host_meta,
+        robots_rules,
+        sitemap_entries,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    hid = (F.col("doc_id") % _FS_HOSTS).cast("string")
+    host = F.concat(F.lit("h"), hid, F.lit(".example"))
+    m = F.col("doc_id") % 3
+    loc = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTP://H"), hid, F.lit(".EXAMPLE:80/p"), sid,
+                F.lit("?b=2&amp;a=1&amp;utm_src=x#frag"),
+            ),
+        )
+        .when(m == 1, F.concat(F.lit("http://h"), hid, F.lit(".example/private/p"), sid))
+        .otherwise(F.concat(F.lit("http://h"), hid, F.lit(".example/dup"), hid))
+    )
+    block = F.concat(F.lit("<url><loc>"), loc, F.lit("</loc><priority>0.9</priority></url>"))
+    sitemaps = (
+        d.select(host.alias("host"), block.alias("block"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"), F.concat_ws("", F.collect_list("block")), F.lit("</urlset>")
+            ).alias("sitemap_xml")
+        )
+    )
+    robots = sitemaps.select("host", F.lit(_FS_ROBOTS).alias("robots_txt"))
+    history = (
+        d.filter(m == 2)
+        .select(F.concat(F.lit("http://h"), hid, F.lit(".example/dup"), hid).alias("url"))
+        .distinct()
+    )
+    discovered = sitemap_entries(sitemaps).filter(F.col("kind") == "url")
+    canon = discovered.select(
+        "host", normalize_url(F.col("loc")).alias("url"), "priority_milli"
+    )
+    fresh = incremental_new(history, canon, key_col="url")
+    rules = robots_rules(robots, agent="trainbot/1.0")
+    gated = apply_robots(fresh, rules).filter(F.col("robots_allowed"))
+    meta = robots_host_meta(robots, agent="trainbot/1.0")
+    return gated.join(meta, "host").select(
+        "host", "url", "priority_milli", "crawl_delay_milli"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": q_flagship,
@@ -1126,7 +1386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "invoice_fields": q_invoice_fields,
         "date_normalize": q_date_normalize,
         "amount_normalize": q_amount_normalize,
-        "text_clean": q_text_clean,
         "dedup_substrings": q_dedup_substrings,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1145,15 +1404,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": q_corpus_mixture,
         "label_spans": q_label_spans,
         "warc_ingest": q_warc_ingest,
-        "classify_reasoning": q_classify_reasoning,
         "bpe_vocab": q_bpe_vocab,
-        "receipt_tax": q_receipt_tax,
-        "invoice_warnings": q_invoice_warnings,
-        "token_count_bpe": q_token_count_bpe,
         "fingerprint_pairs": q_fingerprint_pairs,
         "dedup_embedding": q_dedup_embedding,
-        "stream_window_counts": q_stream_window_counts,
         "stream_dedup_first_seen": q_stream_dedup_first_seen,
+        "robots_gate": q_robots_gate,
+        "sitemap_entries": q_sitemap_entries,
+        "canonical_groups": q_canonical_groups,
+        "script_histogram": q_script_histogram,
+        "dsir_weights": q_dsir_weights,
+        "frontier_select": q_frontier_select,
         "engine_fallback": q_engine_fallback,
         "corpus_select": q_corpus_select,
         "dedup_clusters": q_dedup_clusters,
@@ -2087,6 +2347,106 @@ r{t + 1} AS MATERIALIZED (
     return sql + f"\nSELECT host, rank FROM r{_LG_ROUNDS}"
 
 
+def _sql_script_histogram() -> str:
+    """DuckDB replay of q_script_histogram: the same explicit codepoint
+    intervals as functions/scripts.SCRIPT_BLOCKS spelled as \\x{..}
+    classes, counts via len(regexp_extract_all), dominant via an ordered
+    CASE chain (== the Spark struct-max list-order tie-break), share via
+    integer floor-div (== Spark's exact double division truncated —
+    quotients here are multiples of 1/total with total << 2^40, so the
+    double cannot round across an integer boundary)."""
+    from image_ocr_spark.functions.scripts import SCRIPT_BLOCKS
+
+    def cls(blocks):
+        return "[" + "".join(f"\\x{{{lo:X}}}-\\x{{{hi:X}}}" for lo, hi in blocks) + "]"
+
+    names = [name for name, _ in SCRIPT_BLOCKS]
+    cnt_cols = ",\n                 ".join(
+        f"len(regexp_extract_all(txt, '{cls(b)}'))::BIGINT AS n_{name}"
+        for name, b in SCRIPT_BLOCKS
+    )
+    mx = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    total = " + ".join(f"n_{n}" for n in names)
+    dom_chain = "\n                    ".join(
+        f"WHEN n_{n} = mx THEN '{n}'" for n in names
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 coalesce(text, '') || CASE doc_id % 7
+                   WHEN 1 THEN ' Привет мир'
+                   WHEN 2 THEN ' 日本語のテキスト'
+                   WHEN 3 THEN ' 한국어 텍스트'
+                   WHEN 4 THEN ' مرحبا بالعالم'
+                   WHEN 5 THEN ' हिन्दी पाठ'
+                   WHEN 6 THEN ' ελληνικά νερό'
+                   ELSE '' END AS txt
+          FROM documents
+        ), c AS (
+          SELECT doc_id, length(txt)::BIGINT AS n_chars,
+                 {cnt_cols}
+          FROM t
+        ), m AS (
+          SELECT *, {mx} AS mx, ({total})::BIGINT AS total FROM c
+        )
+        SELECT doc_id, n_chars, {", ".join("n_" + n for n in names)},
+               CASE WHEN mx = 0 THEN ''
+                    {dom_chain}
+                    ELSE '' END AS dominant_script,
+               (CASE WHEN total > 0 THEN (mx * 1000) // total
+                     ELSE 0 END)::BIGINT AS dominant_share_milli
+        FROM m
+    """
+
+
+def _sql_dsir_weights(n_buckets: int) -> str:
+    """DuckDB replay of the FULL DSIR chain: grams -> md5-prefix buckets
+    -> source/target counts -> Laplace log-ratio table in milli-nats ->
+    per-doc integer weight sums.  The ln quantization matches Python's
+    because both call the host libm on identical doubles (exact integer
+    ratios; 300k-trial agreement check, r06); the rounding-mode
+    difference (banker's vs half-away) is unreachable — ln outputs are
+    transcendental and never land on exact .0005 boundaries."""
+    return f"""
+        WITH docs AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(coalesce(text, ''), '[ \\n\\t\\r]+'),
+                             w -> w <> '') AS ws
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, unnest(ws) AS gram FROM docs
+          UNION ALL
+          SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                                i -> ws[i] || ' ' || ws[i + 1])) AS gram
+          FROM docs
+        ),
+        feats AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(gram), 1, 8))::BIGINT % {n_buckets} AS bucket
+          FROM grams
+        ),
+        src AS (SELECT bucket, count(*)::BIGINT AS c FROM feats GROUP BY 1),
+        tgt AS (SELECT bucket, count(*)::BIGINT AS c FROM feats
+                WHERE doc_id % 5 = 0 GROUP BY 1),
+        tot AS (SELECT ((SELECT coalesce(sum(c), 0) FROM src) + {n_buckets})::BIGINT AS s_tot,
+                       ((SELECT coalesce(sum(c), 0) FROM tgt) + {n_buckets})::BIGINT AS t_tot),
+        tbl AS (
+          SELECT b.bucket,
+                 round((ln((coalesce(t.c, 0) + 1) / tot.t_tot)
+                        - ln((coalesce(s.c, 0) + 1) / tot.s_tot)) * 1000)::BIGINT
+                   AS score_milli
+          FROM (SELECT range AS bucket FROM range({n_buckets})) b
+          LEFT JOIN src s USING (bucket)
+          LEFT JOIN tgt t USING (bucket), tot
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_feats,
+               sum(score_milli)::BIGINT AS weight_milli
+        FROM feats JOIN tbl USING (bucket)
+        GROUP BY 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     r_r, r_i = _RECEIPT_SCORES
     i_r, i_i = _INVOICE_SCORES
@@ -2188,17 +2548,6 @@ def oracle_sql() -> dict[str, str]:
         "amount_normalize": """
             SELECT doc_id, (doc_id * 37 % 100000)::BIGINT AS amount
             FROM documents
-        """,
-        "text_clean": """
-            WITH c AS (
-              SELECT doc_id,
-                     trim(regexp_replace(coalesce(text, ''), '[ \t]+', ' ', 'g')) AS ct
-              FROM documents
-            )
-            SELECT doc_id,
-                   CASE WHEN ct = '' THEN 'tail'
-                        ELSE ct || chr(10) || chr(10) || 'tail' END AS cleaned
-            FROM c
         """,
         "dedup_substrings": f"""
             WITH src AS (
@@ -2501,51 +2850,7 @@ def oracle_sql() -> dict[str, str]:
                    1::BIGINT AS ok
             FROM documents
         """,
-        "classify_reasoning": """
-            SELECT doc_id,
-              CASE doc_id % 10 WHEN 6 THEN 'receipt' WHEN 7 THEN 'invoice'
-                   ELSE 'unknown' END AS doc_type,
-              CASE doc_id % 10
-                WHEN 6 THEN '領収書と判定 (confidence: 100.00%, 検出キーワード: "領収書", "合計", "小計", "お預り", "現金")'
-                WHEN 7 THEN '請求書と判定 (confidence: 100.00%, 検出キーワード: "請求書", "請求金額", "支払期限", "振込先", "銀行")'
-                ELSE '確信度が閾値未満（0.00% < 30.00%）'
-              END AS reasoning
-            FROM documents
-        """,
         "bpe_vocab": _sql_bpe_vocab(),
-        "receipt_tax": """
-            SELECT doc_id,
-              (150 + (doc_id % 10) * 10)::BIGINT AS tax_rate_8,
-              (300 + (doc_id % 10) * 10 + ((doc_id // 10) % 10) * 10)::BIGINT
-                AS tax_rate_10,
-              (450 + (doc_id % 10) * 20 + ((doc_id // 10) % 10) * 10)::BIGINT
-                AS subtotal
-            FROM documents WHERE doc_id % 10 = 6
-        """,
-        "invoice_warnings": """
-            SELECT doc_id, unnest(
-              CASE doc_id % 4
-                WHEN 1 THEN [struct_pack(warn_seq := 0,
-                               warning := '請求日を抽出できませんでした')]
-                WHEN 2 THEN [struct_pack(warn_seq := 0,
-                               warning := '振込先口座情報を抽出できませんでした')]
-                WHEN 3 THEN [struct_pack(warn_seq := 0,
-                               warning := '口座番号を抽出できませんでした')]
-                ELSE []::STRUCT(warn_seq INTEGER, warning VARCHAR)[]
-              END, recursive := true)
-            FROM documents
-        """,
-        "token_count_bpe": f"""
-            WITH b AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
-            SELECT doc_id,
-              len(string_split(t, ' ')) AS n_ws_tokens,
-              len(regexp_extract_all(t, '{_BPE_PAT_SQL}')) AS n_bpe_tokens,
-              CASE WHEN len(regexp_extract_all(t, '{_BPE_PAT_SQL}')) > 0
-                   THEN (1000 * length(t))
-                        // len(regexp_extract_all(t, '{_BPE_PAT_SQL}'))
-                   ELSE 0 END::BIGINT AS chars_per_bpe_milli
-            FROM b
-        """,
         "fingerprint_pairs": _sql_fingerprint_pairs(min_shared=5),
         "dedup_embedding": _sql_dedup_embedding(
             threshold_milli=990, num_centroids=32, iters=1, nprobe=2
@@ -2564,15 +2869,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_queries,
                    floor(avg(recall_milli))::BIGINT AS mean_recall_milli
             FROM perq
-        """,
-        # tumbling 10-min windows over warc_ts = 1704067200 + (doc_id%1e5)*60
-        # (fixtures/gen_pages.warc_ts_for); lang defaults to 'en' in build_page
-        "stream_window_counts": """
-            SELECT ((1704067200 + (doc_id % 100000) * 60) // 600 * 600)::BIGINT
-                     AS win_start_epoch,
-                   coalesce(lang, 'en') AS lang,
-                   count(*) AS n_pages
-            FROM documents GROUP BY 1, 2
         """,
         "corpus_select": _sql_corpus_select(min_quality=50, offset=VARIANT_OFFSET),
         "dedup_clusters": _sql_dedup_clusters(iters=20),
@@ -2793,5 +3089,158 @@ def oracle_sql() -> dict[str, str]:
                           450 + (doc_id % 10) * 20 + ((doc_id // 10) % 10) * 10)
                      AS value
             FROM documents WHERE doc_id % 10 = 6
+        """,
+        # r06 rotation family: oracles restate the closed-form fixture
+        # expectation, so equality proves the Spark parse/gate/collapse
+        # chain (the media_features discipline).
+        "robots_gate": f"""
+            SELECT 'http://h' || (doc_id % {_RG_HOSTS})::VARCHAR || '.example' ||
+                   CASE doc_id % 6
+                     WHEN 0 THEN '/private/secret' || doc_id::VARCHAR
+                     WHEN 1 THEN '/private/public' || doc_id::VARCHAR
+                     WHEN 2 THEN '/f' || doc_id::VARCHAR || '.tmp'
+                     WHEN 3 THEN '/f' || doc_id::VARCHAR || '.tmp.txt'
+                     WHEN 4 THEN '/cgi%bin/_x'
+                     ELSE '/ok/' || doc_id::VARCHAR END AS url,
+                   CASE WHEN (doc_id % {_RG_HOSTS}) % 3 = 0 THEN true
+                        ELSE (doc_id % 6) IN (1, 3, 5) END AS robots_allowed
+            FROM documents
+        """,
+        "sitemap_entries": f"""
+            SELECT 'h' || (doc_id % {_SM_HOSTS})::VARCHAR || '.example' AS host,
+                   CASE WHEN doc_id % 5 = 4 THEN 'sitemap' ELSE 'url' END AS kind,
+                   CASE WHEN doc_id % 5 = 4
+                        THEN 'http://h' || (doc_id % {_SM_HOSTS})::VARCHAR
+                             || '.example/s' || doc_id::VARCHAR || '.xml'
+                        ELSE 'http://h' || (doc_id % {_SM_HOSTS})::VARCHAR
+                             || '.example/d' || doc_id::VARCHAR || '?a=1&b=2'
+                   END AS loc,
+                   CASE WHEN doc_id % 5 = 4 THEN '2026-02-02'
+                        ELSE '2026-01-15' END AS lastmod,
+                   CASE WHEN doc_id % 5 = 4 THEN ''
+                        ELSE CASE doc_id % 4 WHEN 0 THEN 'daily'
+                                             WHEN 1 THEN 'weekly'
+                                             WHEN 2 THEN ''
+                                             ELSE 'never' END
+                   END AS changefreq,
+                   (CASE WHEN doc_id % 5 = 4 THEN 0
+                         ELSE (doc_id % 10) * 100 END)::BIGINT AS priority_milli
+            FROM documents
+        """,
+        "canonical_groups": """
+            WITH k AS (
+              SELECT doc_id,
+                     'http://h' || ((doc_id // 3) % 7)::VARCHAR || '.example/p'
+                       || doc_id::VARCHAR AS url,
+                     CASE WHEN doc_id % 3 = 2
+                          THEN 'http://h' || ((doc_id // 3) % 7)::VARCHAR
+                               || '.example/p' || doc_id::VARCHAR
+                          ELSE 'http://h' || ((doc_id // 3) % 7)::VARCHAR
+                               || '.example/p' || (doc_id - doc_id % 3)::VARCHAR
+                     END AS canon_key
+              FROM documents)
+            SELECT canon_key, count(*)::BIGINT AS n_pages,
+                   coalesce(min(CASE WHEN url = canon_key THEN url END),
+                            min(url)) AS representative
+            FROM k GROUP BY 1
+        """,
+        "script_histogram": _sql_script_histogram(),
+        "dsir_weights": _sql_dsir_weights(_DSIR_BUCKETS),
+        "frontier_select": f"""
+            SELECT 'h' || (doc_id % {_FS_HOSTS})::VARCHAR || '.example' AS host,
+                   'http://h' || (doc_id % {_FS_HOSTS})::VARCHAR || '.example/p'
+                     || doc_id::VARCHAR || '?a=1&b=2' AS url,
+                   900::BIGINT AS priority_milli,
+                   1500::BIGINT AS crawl_delay_milli
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Rotated-out driver rows (rotation policy: COVERAGE.md).  The registry is
+# capped at 50 slots; rows that were hash-green for 3+ consecutive rounds
+# rotate out to admit novel operators, but they remain first-class — the
+# SAME (query, oracle) pairs are replayed against DuckDB every pytest run
+# by tests/test_retired_rotation.py, so their value checks never lapse.
+# ---------------------------------------------------------------------------
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "text_clean": q_text_clean,
+        "classify_reasoning": q_classify_reasoning,
+        "receipt_tax": q_receipt_tax,
+        "invoice_warnings": q_invoice_warnings,
+        "token_count_bpe": q_token_count_bpe,
+        "stream_window_counts": q_stream_window_counts,
+    }
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    return {
+        "text_clean": """
+            WITH c AS (
+              SELECT doc_id,
+                     trim(regexp_replace(coalesce(text, ''), '[ \t]+', ' ', 'g')) AS ct
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN ct = '' THEN 'tail'
+                        ELSE ct || chr(10) || chr(10) || 'tail' END AS cleaned
+            FROM c
+        """,
+        "classify_reasoning": """
+            SELECT doc_id,
+              CASE doc_id % 10 WHEN 6 THEN 'receipt' WHEN 7 THEN 'invoice'
+                   ELSE 'unknown' END AS doc_type,
+              CASE doc_id % 10
+                WHEN 6 THEN '領収書と判定 (confidence: 100.00%, 検出キーワード: "領収書", "合計", "小計", "お預り", "現金")'
+                WHEN 7 THEN '請求書と判定 (confidence: 100.00%, 検出キーワード: "請求書", "請求金額", "支払期限", "振込先", "銀行")'
+                ELSE '確信度が閾値未満（0.00% < 30.00%）'
+              END AS reasoning
+            FROM documents
+        """,
+        "receipt_tax": """
+            SELECT doc_id,
+              (150 + (doc_id % 10) * 10)::BIGINT AS tax_rate_8,
+              (300 + (doc_id % 10) * 10 + ((doc_id // 10) % 10) * 10)::BIGINT
+                AS tax_rate_10,
+              (450 + (doc_id % 10) * 20 + ((doc_id // 10) % 10) * 10)::BIGINT
+                AS subtotal
+            FROM documents WHERE doc_id % 10 = 6
+        """,
+        "invoice_warnings": """
+            SELECT doc_id, unnest(
+              CASE doc_id % 4
+                WHEN 1 THEN [struct_pack(warn_seq := 0,
+                               warning := '請求日を抽出できませんでした')]
+                WHEN 2 THEN [struct_pack(warn_seq := 0,
+                               warning := '振込先口座情報を抽出できませんでした')]
+                WHEN 3 THEN [struct_pack(warn_seq := 0,
+                               warning := '口座番号を抽出できませんでした')]
+                ELSE []::STRUCT(warn_seq INTEGER, warning VARCHAR)[]
+              END, recursive := true)
+            FROM documents
+        """,
+        "token_count_bpe": f"""
+            WITH b AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+            SELECT doc_id,
+              len(string_split(t, ' ')) AS n_ws_tokens,
+              len(regexp_extract_all(t, '{_BPE_PAT_SQL}')) AS n_bpe_tokens,
+              CASE WHEN len(regexp_extract_all(t, '{_BPE_PAT_SQL}')) > 0
+                   THEN (1000 * length(t))
+                        // len(regexp_extract_all(t, '{_BPE_PAT_SQL}'))
+                   ELSE 0 END::BIGINT AS chars_per_bpe_milli
+            FROM b
+        """,
+        # tumbling 10-min windows over warc_ts = 1704067200 + (doc_id%1e5)*60
+        # (fixtures/gen_pages.warc_ts_for); lang defaults to 'en' in build_page
+        "stream_window_counts": """
+            SELECT ((1704067200 + (doc_id % 100000) * 60) // 600 * 600)::BIGINT
+                     AS win_start_epoch,
+                   coalesce(lang, 'en') AS lang,
+                   count(*) AS n_pages
+            FROM documents GROUP BY 1, 2
         """,
     }
