@@ -2571,17 +2571,21 @@ def oracle_sql() -> dict[str, str]:
             ), dup AS (
               SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
             ), starts AS (
-              SELECT id, list_sort(list(pos)) AS ss
+              -- mirror of max_dup_starts=4096: the rebuild applies only
+              -- the first 4096 sorted starts; n_dup stays uncapped
+              SELECT id, list_slice(list_sort(list(pos)), 1, 4096) AS ss,
+                     count(*)::BIGINT AS n_dup
               FROM wins JOIN dup USING (h) GROUP BY id
             ), j AS (
               SELECT s.id, s.toks,
-                     coalesce(st.ss, CAST([] AS BIGINT[])) AS ss
+                     coalesce(st.ss, CAST([] AS BIGINT[])) AS ss,
+                     coalesce(st.n_dup, 0) AS n_dup
               FROM src s LEFT JOIN starts st ON s.id = st.id
             )
             SELECT id AS doc_id,
                    len(toks)::BIGINT AS n_tokens,
                    greatest(0, len(toks) - 7)::BIGINT AS n_windows,
-                   len(ss)::BIGINT AS n_dup_windows,
+                   n_dup::BIGINT AS n_dup_windows,
                    -- array_to_string([]) is NULL in DuckDB but
                    -- array_join([]) is '' in Spark: coalesce
                    coalesce(array_to_string(list_transform(list_filter(

@@ -1044,6 +1044,7 @@ def dedup_substrings(
     text_col: str = "text",
     window: int = 8,
     min_count: int = 2,
+    max_dup_starts: int = 4096,
 ) -> DataFrame:
     """(doc_id, n_tokens, n_windows, n_dup_windows, clean_text): EXACT
     SUBSTRING deduplication at token-window granularity — every token
@@ -1063,8 +1064,14 @@ def dedup_substrings(
     semi-join on the SAME key + a per-doc regroup (proportional to DUP
     windows only, not all windows); the rebuild filters tokens against
     the doc's dup-start list per row.  The per-row rebuild is
-    O(n_tokens * n_dup_starts); a doc that is wall-to-wall duplicates
-    degrades to O(n^2) per row — cap pathological docs upstream.
+    O(n_tokens * n_dup_starts), so a wall-to-wall-duplicate doc would
+    degrade to O(n^2) per row — ``max_dup_starts`` bounds it: only the
+    FIRST ``max_dup_starts`` sorted duplicate starts are applied to the
+    rebuild (deterministic truncation; a capped doc UNDER-deletes its
+    tail, never over-deletes), while ``n_dup_windows`` still reports the
+    uncapped count so capped docs are detectable downstream
+    (n_dup_windows > max_dup_starts).  The DuckDB oracle mirrors the
+    same list_slice.
 
     Windows use a \\x01 joiner (cannot appear in whitespace-split
     tokens), so unequal spans can only collide at the 2^60 birthday
@@ -1098,12 +1105,18 @@ def dedup_substrings(
     starts = (
         wins.join(dup, "h", "left_semi")
         .groupBy("id")
-        .agg(F.array_sort(F.collect_list("pos")).alias("ss"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("pos")), 1, max_dup_starts
+            ).alias("ss"),
+            F.count(F.lit(1)).alias("n_dup"),
+        )
     )
     joined = base.join(starts, "id", "left").select(
         "id",
         "toks",
         F.coalesce("ss", F.array().cast("array<int>")).alias("ss"),
+        F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
     )
     covered = lambda i: F.exists(
         F.col("ss"), lambda s: (s <= i + 1) & (i + 1 < s + w)
@@ -1124,6 +1137,6 @@ def dedup_substrings(
         F.greatest(F.lit(0), F.size("toks") - (w - 1))
         .cast("long")
         .alias("n_windows"),
-        F.size("ss").cast("long").alias("n_dup_windows"),
+        F.col("n_dup").cast("long").alias("n_dup_windows"),
         clean.alias("clean_text"),
     )

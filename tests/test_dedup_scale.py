@@ -372,6 +372,31 @@ def test_dedup_substrings_semantics(spark):
     assert got[5].clean_text == "short" and got[5].n_windows == 0
 
 
+def test_dedup_substrings_pathological_cap(spark):
+    """A wall-to-wall-duplicate doc (one token repeated 20k times — every
+    window duplicates every other, the O(n^2)-per-row shape) completes in
+    bounded time under max_dup_starts and follows the documented
+    truncation semantics: the first `cap` sorted starts cover tokens
+    0..cap+window-2, the tail is RETAINED (under-deletion), and
+    n_dup_windows reports the UNCAPPED count so the capping is
+    detectable.  A normal doc in the same corpus is unaffected."""
+    from image_ocr_spark.operators.dedup import dedup_substrings
+
+    n, cap, w = 20_000, 64, 8
+    unique = " ".join(f"u{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, " ".join(["tok"] * n)), (1, unique)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup_substrings(df, window=w, max_dup_starts=cap).collect()
+    }
+    assert got[0].n_dup_windows == n - (w - 1)  # uncapped count
+    kept = n - (cap + w - 1)
+    assert got[0].clean_text == " ".join(["tok"] * kept)
+    assert got[1].clean_text == unique and got[1].n_dup_windows == 0
+
+
 def test_dedup_substrings_shuffle_shape(spark, documents):
     """Window hashing stays in the scan stage; the count agg and the
     dup-start semi-join key on the SAME window hash (no cartesian, no
