@@ -35,6 +35,7 @@ Aiken, SIGMOD 2003.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import List
 
 from pyspark.sql import Column, DataFrame
@@ -778,6 +779,53 @@ def _unpersist_rdd_ids(sc, rdd_ids: set) -> None:
     for k in list(jmap.keySet().toArray()):
         if int(k) in rdd_ids:
             jmap.get(k).unpersist(False)
+
+
+@contextmanager
+def checkpoint_scope(spark):
+    """Scope-bound storage release for the iterative-loop operators —
+    the automatic alternative to the manual release_* contracts, so user
+    code cannot leak pinned checkpoint RDDs by forgetting a call.
+
+        with checkpoint_scope(spark):
+            clusters = dedup_components(pairs, ids).collect()
+            ranks = host_rank(edges).collect()
+        # all checkpoint storage registered inside the scope is freed
+
+    On exit, every checkpoint/cache registered DURING the scope is
+    released: dedup_components final-labels checkpoints, host_rank rank
+    checkpoints, grouped-verify assignment caches, and n-gram signature
+    caches.  Storage registered BEFORE the scope is untouched, so scopes
+    compose with long-lived sessions.  Because a localCheckpoint release
+    DESTROYS the data (no lineage to recompute), results computed inside
+    the scope must be materialized (collected/written) before exit —
+    the same rule the manual contracts document."""
+    from image_ocr_spark.operators import linkgraph, similarity
+
+    before_cc = set(_CC_CKPT_IDS)
+    before_rank = set(linkgraph._RANK_CKPT_IDS)
+    before_assign = list(similarity._ASSIGN_CACHE)
+    before_sig = list(_SIG_CACHE)
+    try:
+        yield
+    finally:
+        sc = spark.sparkContext
+        new_cc = set(_CC_CKPT_IDS) - before_cc
+        _unpersist_rdd_ids(sc, new_cc)
+        _CC_CKPT_IDS.difference_update(new_cc)
+        new_rank = set(linkgraph._RANK_CKPT_IDS) - before_rank
+        _unpersist_rdd_ids(sc, new_rank)
+        linkgraph._RANK_CKPT_IDS.difference_update(new_rank)
+        for cache, before in (
+            (similarity._ASSIGN_CACHE, before_assign),
+            (_SIG_CACHE, before_sig),
+        ):
+            for df in [d for d in cache if not any(d is b for b in before)]:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+                cache.remove(df)
 
 
 def dedup_components(

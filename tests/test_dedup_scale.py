@@ -411,6 +411,49 @@ def test_dedup_substrings_shuffle_shape(spark, documents):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_checkpoint_scope_releases_without_explicit_calls(spark):
+    """checkpoint_scope (r06, VERDICT #8): running the iterative-loop
+    operators inside the scope releases their checkpoint storage on exit
+    with NO explicit release_* call — and storage registered before the
+    scope is untouched."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.dedup import (
+        checkpoint_scope,
+        dedup_components,
+    )
+    from image_ocr_spark.operators.linkgraph import host_rank
+
+    def persisted():
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    ids = spark.range(60).select(F.col("id"))
+    pairs = spark.range(30).select(
+        F.col("id").alias("id_a"), (F.col("id") + 30).alias("id_b")
+    )
+    # pre-scope checkpoint: must SURVIVE the scope exit
+    outside = dedup_components(pairs, ids).localCheckpoint(eager=True)
+    base = persisted()
+    with checkpoint_scope(spark):
+        edges = spark.range(40).select(
+            F.concat(F.lit("h"), (F.col("id") % 5).cast("string")).alias("src_host"),
+            F.concat(F.lit("h"), ((F.col("id") + 1) % 5).cast("string")).alias("dst_host"),
+        )
+        inner_cc = dedup_components(pairs, ids).collect()
+        inner_rank = host_rank(edges, rounds=3).collect()
+        assert len(inner_cc) == 60 and len(inner_rank) == 5
+        assert persisted() - base, "scope should have registered storage"
+    after = persisted()
+    assert after - base == set(), f"scope leaked storage: {after - base}"
+    assert outside.count() == 60  # pre-scope checkpoint still usable
+    from image_ocr_spark.operators.dedup import release_component_checkpoints
+
+    release_component_checkpoints(spark)
+
+
 def test_no_cached_relation_leaks_after_module(spark):
     """Ungated storage census (VERDICT r04 item 9): after this module's
     dedup battery (the default suite's heaviest persist user), releasing
