@@ -7,8 +7,10 @@ quarantine corrupt tails without raising, and stay scan-stage-only on
 the Spark side (entry:warc_ingest is the driver-checked composition).
 """
 
+import os
 import zlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from image_ocr_spark.pycore.warc import (
@@ -314,3 +316,123 @@ def test_warc_extract_fused_matches_composed(spark, documents):
         assert all(r.doc_id is None for r in fused.collect())  # no fixture id
     finally:
         pages.unpersist()
+
+
+def test_binaryfile_segment_path_matches_chunk_rows(spark, tmp_path):
+    """The documented 100 TB ingest shape (COVERAGE S7) actually runs:
+    .warc.gz segment FILES read via spark.read.format('binaryFile') ->
+    read_warc, with the file path fanned onto every record as the
+    per-segment lineage key — record-identical to the pre-chunked-rows
+    path over the same bytes."""
+    from image_ocr_spark.operators.warcsource import read_warc
+
+    segs = {}
+    for s in range(3):
+        recs = [
+            build_response_record(
+                f"http://seg{s}.example/p{i}",
+                1704067200 + i,
+                (f"payload {s}/{i} " * 20).encode(),
+                "text/html",
+            )
+            for i in range(50)
+        ]
+        segs[f"seg{s}.warc.gz"] = build_warc_gz(recs)
+        (tmp_path / f"seg{s}.warc.gz").write_bytes(segs[f"seg{s}.warc.gz"])
+
+    bf = (
+        spark.read.format("binaryFile")
+        .load(f"{tmp_path}/*.warc.gz")
+        .select(F.col("content").alias("chunk"), F.col("path"))
+    )
+    via_files = read_warc(bf, passthrough=("path",))
+    got = {
+        (r.url, r.warc_ts, bytes(r.payload)): r.path.rsplit("/", 1)[-1]
+        for r in via_files.collect()
+    }
+    rows = spark.createDataFrame(
+        [(name, blob) for name, blob in segs.items()], "name string, chunk binary"
+    )
+    want = {
+        (r.url, r.warc_ts, bytes(r.payload)): r.name
+        for r in read_warc(rows, passthrough=("name",)).collect()
+    }
+    assert got == want and len(got) == 150
+    # lineage: every record carries ITS OWN segment's path
+    assert all(k[0].startswith(f"http://{v.split('.')[0]}") for k, v in got.items())
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_STRESS") != "1",
+    reason="set SPARK_GRAFT_STRESS=1 (generates a ~256 MB segment)",
+)
+def test_binaryfile_multi_hundred_mb_segment(spark, tmp_path):
+    """VERDICT r05 item 4: a multi-hundred-MB .warc.gz segment through
+    binaryFile -> read_warc must parse without an Arrow 2 GiB batch
+    blow-up (incompressible payloads: in-memory batch ~= on-disk size).
+    Asserts record parity with a direct pycore parse and records the
+    worker's peak RSS (BASELINE.md)."""
+    import hashlib
+    import resource
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+
+    from image_ocr_spark.operators.warcsource import read_warc
+
+    n_rec, rec_kb = 1000, 256  # ~256 MB of incompressible payload
+    rng = np.random.RandomState(42)
+    recs = [
+        build_response_record(
+            f"http://big.example/p{i}",
+            1704067200 + i,
+            rng.bytes(rec_kb << 10),
+            "application/octet-stream",
+        )
+        for i in range(n_rec)
+    ]
+    gz = build_warc_gz(recs)
+    path = tmp_path / "big.warc.gz"
+    path.write_bytes(gz)
+    print(f"\nsegment bytes: {len(gz) / 1e6:.1f} MB")
+
+    direct = parse_warc(gz)["records"]
+    want = sorted(
+        (r["url"], hashlib.md5(r["payload"]).hexdigest()) for r in direct
+    )
+
+    bf = (
+        spark.read.format("binaryFile")
+        .load(str(path))
+        .select(F.col("content").alias("chunk"))
+    )
+    t0 = time.time()
+    got = sorted(
+        (r.url, r.md5)
+        for r in read_warc(bf)
+        .select("url", F.md5("payload").alias("md5"))
+        .collect()
+    )
+    wall = time.time() - t0
+    assert got == want and len(got) == n_rec
+
+    def probe(batches):
+        from image_ocr_spark.pycore.warc import parse_warc as pw
+
+        n = 0
+        for b in batches:
+            for chunk in b.column(0).to_pylist():
+                n += len(pw(chunk or b"")["records"])
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([n], pa.int64()), pa.array([rss], pa.int64())],
+            ["n", "rss_mb"],
+        )
+
+    stats = bf.mapInArrow(probe, "n long, rss_mb long").collect()
+    assert sum(r.n for r in stats) == n_rec
+    peak = max(r.rss_mb for r in stats)
+    print(f"binaryFile segment: {n_rec} records, wall {wall:.1f}s, "
+          f"per-task peak RSS {peak} MB")
+    assert peak < 4096  # a 256 MB segment must not need GBs per task
