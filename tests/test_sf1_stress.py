@@ -469,3 +469,128 @@ FROM grams GROUP BY 1"""
         f"oracle={duck_s:.1f}s sampled={len(sample)}"
     )
     assert len(sample) > 100
+
+
+@pytest.mark.skipif(not STRESS, reason="set SPARK_GRAFT_STRESS=1 (slow)")
+def test_frontier_family_at_sf1(spark):
+    """Frontier operators at crawl-round scale (VERDICT r05 item 9):
+    1M urls across 10k hosts.  Robots: 10k robots.txt parsed once
+    (host-sized Arrow), 1M LIKE verdicts; sitemaps: 10k XML documents
+    totalling 1M entries; canonical collapse: 1M pages.  Verdicts and
+    group counts assert against the closed-form synthesis; walls are
+    printed for BASELINE.md."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.linkgraph import canonical_groups
+    from image_ocr_spark.operators.robotsfrontier import (
+        apply_robots,
+        robots_rules,
+        sitemap_entries,
+    )
+
+    n_urls, n_hosts = 1_000_000, 10_000
+    robots_txt = (
+        "User-agent: trainbot\n"
+        "Disallow: /private/\n"
+        "Allow: /private/public*\n"
+        "Disallow: /*.tmp$\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+
+    ids = spark.range(n_urls)
+    sid = F.col("id").cast("string")
+    hid = F.col("id") % n_hosts
+    host = F.concat(F.lit("h"), hid.cast("string"), F.lit(".example"))
+    k = F.col("id") % 5
+    path = (
+        F.when(k == 0, F.concat(F.lit("/private/secret"), sid))
+        .when(k == 1, F.concat(F.lit("/private/public"), sid))
+        .when(k == 2, F.concat(F.lit("/f"), sid, F.lit(".tmp")))
+        .when(k == 3, F.concat(F.lit("/f"), sid, F.lit(".tmp.txt")))
+        .otherwise(F.concat(F.lit("/ok/"), sid))
+    )
+    urls = ids.select(
+        host.alias("host"), F.concat(F.lit("http://"), host, path).alias("url")
+    ).persist()
+    assert urls.count() == n_urls
+    robots = spark.range(n_hosts).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias("host"),
+        F.when(F.col("id") % 3 != 0, F.lit(robots_txt))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("robots_txt"),
+    )
+    t0 = time.time()
+    rules = robots_rules(robots, agent="trainbot/1.0")
+    allowed = (
+        apply_robots(urls, rules)
+        .agg(F.sum(F.col("robots_allowed").cast("long")).alias("a"))
+        .collect()[0]
+        .a
+    )
+    robots_s = time.time() - t0
+    # closed form: no-robots hosts (hid%3==0) allow everything; the rest
+    # allow k in {1,3,4}.  ids stride host and k independently-ish; count
+    # exactly via the same arithmetic.
+    want_allowed = ids.select(
+        F.sum(
+            F.when((hid % 3 == 0) | k.isin(1, 3, 4), 1).otherwise(0)
+        ).alias("a")
+    ).collect()[0].a
+    assert allowed == want_allowed
+    print(f"\n[sf1.0 frontier] robots gate: {n_urls} urls / {n_hosts} hosts "
+          f"wall {robots_s:.1f}s ({n_urls / robots_s / 1e3:.0f}k urls/s)")
+
+    # sitemaps: 100 entries per host, 1M total
+    t0 = time.time()
+    block = F.concat(
+        F.lit("<url><loc>http://"), host, F.lit("/d"), sid,
+        F.lit("?a=1&amp;b=2</loc><priority>0."),
+        (F.col("id") % 10).cast("string"), F.lit("</priority></url>"),
+    )
+    xml = (
+        ids.select(host.alias("host"), block.alias("b"))
+        .groupBy("host")
+        .agg(F.concat(F.lit("<urlset>"), F.concat_ws("", F.collect_list("b")),
+                      F.lit("</urlset>")).alias("sitemap_xml"))
+    )
+    ent = sitemap_entries(xml).persist()
+    n_ent = ent.count()
+    prio = ent.agg(F.sum("priority_milli").alias("p")).collect()[0].p
+    sitemap_s = time.time() - t0
+    assert n_ent == n_urls
+    want_prio = ids.agg(F.sum((F.col("id") % 10) * 100).alias("p")).collect()[0].p
+    assert prio == want_prio  # quantization exact across 1M entries
+    assert ent.filter(~F.col("loc").contains("?a=1&b=2")).count() == 0
+    ent.unpersist()
+    print(f"[sf1.0 frontier] sitemap parse: {n_ent} entries / {n_hosts} "
+          f"hosts wall {sitemap_s:.1f}s ({n_ent / sitemap_s / 1e3:.0f}k entries/s)")
+
+    # canonical collapse: triples point at a base url (q_canonical_groups
+    # geometry at 2000x)
+    t0 = time.time()
+    g = ((F.col("id") - F.col("id") % 3) / 3).cast("long") % n_hosts
+    mk = lambda c: F.concat(F.lit("http://h"), g.cast("string"), F.lit(".example/p"), c)
+    url = mk(sid)
+    base = mk((F.col("id") - F.col("id") % 3).cast("string"))
+    m = F.col("id") % 3
+    html = (
+        F.when(m == 0, F.concat(F.lit('<link rel="canonical" href="'), url, F.lit('">x')))
+        .when(m == 1, F.concat(F.lit('<link rel="canonical" href="'), base, F.lit('">y')))
+        .otherwise(F.lit("<p>solo</p>"))
+    )
+    pages = ids.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    groups = canonical_groups(pages).persist()
+    n_groups = groups.count()
+    n_pairs = groups.filter(F.col("n_pages") == 2).count()
+    canon_s = time.time() - t0
+    # n_urls % 3 == 1: ids 0..999999 -> 333334 bases (last base solo),
+    # 333333 pairs, 333333 solo m==2 pages
+    assert n_groups == 333_334 + 333_333
+    assert n_pairs == 333_333
+    groups.unpersist()
+    urls.unpersist()
+    print(f"[sf1.0 frontier] canonical collapse: {n_urls} pages wall "
+          f"{canon_s:.1f}s ({n_urls / canon_s / 1e3:.0f}k pages/s)")
