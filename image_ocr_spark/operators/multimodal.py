@@ -51,11 +51,13 @@ FEATURE_SCHEMA = T.StructType(
 
 def decode_image(raw: bytes):
     """General-format decode via PIL when available.  PNG, baseline
-    JPEG, BMP, baseline TIFF and lossless WebP (VP8L) decode without it
-    (media_pixel_stats); the only residue of the reference's allowlist
-    (main.py:169-176) not covered from scratch is LOSSY WebP (VP8
-    key-frame decode: bool-coder + intra prediction + loop filter),
-    which needs an image library the container doesn't ship."""
+    JPEG, BMP, baseline TIFF and lossless WebP (VP8L) decode from
+    scratch (media_pixel_stats); lossy WebP (VP8) binds to the system
+    libwebp when present (pycore/vp8sys.py, r06) — with that, every
+    cell of the reference's allowlist (main.py:169-176) decodes.  A
+    from-scratch VP8 decoder stays a documented non-goal: it is ~95%
+    spec constant tables (RFC 6386 §13), not logic — see vp8sys's
+    module docstring."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - no PIL in sandbox
@@ -150,8 +152,9 @@ def media_pixel_stats(raw: bytes):
     """(w, h, ch, mean_micro, entropy_milli) from REAL decoded pixels,
     sniffing the container by magic bytes: PNG (pycore/pngdec.py),
     baseline JPEG (pycore/jpegdec.py — r05), BMP (pycore/bmpdec.py —
-    r05), baseline TIFF (pycore/tiffdec.py — r05) or lossless WebP
-    (VP8L, pycore/webpdec.py — r05; lossy VP8 raises).
+    r05), baseline TIFF (pycore/tiffdec.py — r05), lossless WebP (VP8L,
+    pycore/webpdec.py — r05), or lossy WebP via the gated system-libwebp
+    binding (pycore/vp8sys.py — r06; raises when the library is absent).
 
     - mean_micro[c] = floor(1e6 * sum(channel c) / (w*h)) — integer, so
       bit-identical across engines;
@@ -181,7 +184,18 @@ def media_pixel_stats(raw: bytes):
     elif raw[:4] in (TIFF_MAGIC_LE, TIFF_MAGIC_BE):
         w, h, ch, px = tiff_decode(raw)
     elif raw[:4] == RIFF_MAGIC and raw[8:12] == WEBP_MAGIC:
-        w, h, ch, px = webp_decode(raw)  # VP8L; lossy VP8 raises inside
+        try:
+            w, h, ch, px = webp_decode(raw)  # VP8L, pure from-scratch
+        except ValueError as exc:
+            # lossy VP8 / VP8X: bind to the system libwebp when present
+            # (pycore/vp8sys.py — the reference's own system-decoder
+            # posture); keep the documented boundary error otherwise
+            from image_ocr_spark.pycore.vp8sys import decode_rgb, vp8_available
+
+            if "not supported" in str(exc) and vp8_available():
+                w, h, ch, px = decode_rgb(raw)
+            else:
+                raise
     else:
         raise ValueError(
             "unsupported media container (not PNG/JPEG/BMP/TIFF/WebP)"

@@ -228,3 +228,77 @@ def test_operator_decodes_webp_rows(spark):
         for i, v in enumerate(px):
             sums[i % ch] += v
         assert r.mean_micro == [(1_000_000 * s) // n for s in sums]
+
+
+_VP8SYS = pytest.importorskip(
+    "image_ocr_spark.pycore.vp8sys", reason="vp8sys module"
+)
+_HAVE_LIBWEBP = _VP8SYS.vp8_available()
+
+
+@pytest.mark.skipif(not _HAVE_LIBWEBP, reason="system libwebp absent")
+def test_lossless_decoder_conformance_vs_libwebp():
+    """EXTERNAL conformance: the reference C implementation (system
+    libwebp) decodes our from-scratch encoder's VP8L streams to the
+    SAME pixels as our from-scratch decoder — the codec pair agrees
+    with the spec's reference, not just with itself."""
+    for mid in (0, 1, 2, 3, 5, 9, 17, 38):
+        w, h, ch, px = _synth_webp_pixels(mid)
+        blob = webp_encode(w, h, ch, px)
+        ours = webp_decode(blob)
+        rw, rh, rc, rpx = _VP8SYS.decode_rgba(blob)
+        assert (rw, rh) == (w, h) == (ours[0], ours[1])
+        if ch == 4:
+            assert rpx == px
+        else:  # libwebp upgrades RGB to RGBA with opaque alpha
+            assert all(rpx[4 * i + 3] == 255 for i in range(w * h))
+            got_rgb = bytes(
+                rpx[4 * i + c] for i in range(w * h) for c in range(3)
+            )
+            assert got_rgb == px
+
+
+@pytest.mark.skipif(not _HAVE_LIBWEBP, reason="system libwebp absent")
+def test_lossy_vp8_decodes_via_system_binding():
+    """Lossy VP8 (r06): a REAL VP8 key-frame stream (libwebp encoder)
+    decodes through media_pixel_stats via the gated system binding —
+    dims exact, per-channel means within lossy tolerance; the pure
+    from-scratch webp_decode keeps its documented boundary error."""
+    w, h, ch, px = _synth_webp_pixels(7)
+    if ch == 4:  # encode_lossy_rgb takes RGB
+        px = bytes(px[4 * i + c] for i in range(w * h) for c in range(3))
+    blob = _VP8SYS.encode_lossy_rgb(w, h, px, quality=95.0)
+    assert blob[12:16] == b"VP8 "  # really a lossy stream
+    with pytest.raises(ValueError, match="lossy"):
+        webp_decode(blob)  # from-scratch boundary unchanged
+    gw, gh, gch, mean_micro, entropy_milli = media_pixel_stats(blob)
+    assert (gw, gh, gch) == (w, h, 3)
+    src_mean = [
+        sum(px[3 * i + c] for i in range(w * h)) * 1_000_000 // (w * h)
+        for c in range(3)
+    ]
+    for got, want in zip(mean_micro, src_mean):
+        assert abs(got - want) < 12_000_000, (got, want)  # ~12 byte levels
+    assert entropy_milli >= 0
+
+
+@pytest.mark.skipif(not _HAVE_LIBWEBP, reason="system libwebp absent")
+def test_lossy_vp8_rows_through_spark_operator(spark):
+    """The lossy path works where it matters: inside the mapInArrow
+    feature operator, mixed with from-scratch-decoded rows."""
+    from image_ocr_spark.operators.multimodal import extract_pixel_features
+
+    w, h, ch, px = _synth_webp_pixels(4)
+    if ch == 4:
+        px = bytes(px[4 * i + c] for i in range(w * h) for c in range(3))
+    lossy = _VP8SYS.encode_lossy_rgb(w, h, px, quality=95.0)
+    lossless = webp_encode(w, h, 3, px)
+    df = spark.createDataFrame(
+        [(0, lossy), (1, lossless), (2, b"garbage")],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in extract_pixel_features(df).collect()}
+    assert set(rows) == {0, 1}  # garbage row skipped, lossy row decoded
+    assert (rows[0].width, rows[0].height) == (w, h)
+    for a, b in zip(rows[0].mean_micro, rows[1].mean_micro):
+        assert abs(a - b) < 12_000_000
