@@ -134,3 +134,138 @@ def label_spans_sql(extracted: DataFrame, key: str = "url") -> DataFrame:
         F.col("s.label").alias("label"),
         F.col("s.value").alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PDF layout spans (r06) — geometric coordinates, the reference's
+# bounding-box world.  The reference's span predicates
+# (get_text_right_of / get_text_below, span_utils.py) operate on OCR
+# bounding boxes; the HTML graft approximates them with token positions
+# (entry:span_neighbors).  For the PDF branch the coordinates are REAL:
+# pycore.pdftok.pdf_spans tracks Tm/Td/TD/T*/TL line origins, so the
+# same nearest-neighbor predicates run on page geometry.
+# ---------------------------------------------------------------------------
+
+PDF_SPAN_SCHEMA = (
+    "url string, span_id int, text string, x_milli long, y_milli long,"
+    " size_milli long"
+)
+
+_PDF_SPAN_ARROW = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("span_id", pa.int32()),
+        pa.field("text", pa.string()),
+        pa.field("x_milli", pa.int64()),
+        pa.field("y_milli", pa.int64()),
+        pa.field("size_milli", pa.int64()),
+    ]
+)
+
+
+def pdf_layout_spans(
+    pages: DataFrame, url_col: str = "url", pdf_col: str = "html"
+) -> DataFrame:
+    """(url, span_id, text, x_milli, y_milli, size_milli) — one row per
+    positioned text span of each PDF payload, stream-sequence span_id.
+    One scan-stage Arrow pass (the tokenizer discipline: only the two
+    needed columns cross the boundary, zero shuffle); non-PDF or
+    unparseable payloads yield no rows (never-raise policy)."""
+    from ..pycore.pdftok import is_pdf, pdf_spans
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            raws = batch.column(1).to_pylist()
+            cols = {name: [] for name in _PDF_SPAN_ARROW.names}
+            for url, raw in zip(urls, raws):
+                raw = raw or b""
+                if not is_pdf(raw):
+                    continue
+                for sp in pdf_spans(raw):
+                    cols["url"].append(url)
+                    cols["span_id"].append(sp["seq"])
+                    cols["text"].append(sp["text"])
+                    cols["x_milli"].append(sp["x_milli"])
+                    cols["y_milli"].append(sp["y_milli"])
+                    cols["size_milli"].append(sp["size_milli"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[f.name], f.type)
+                    for f in _PDF_SPAN_ARROW
+                ],
+                schema=_PDF_SPAN_ARROW,
+            )
+
+    return pages.select(
+        F.col(url_col).alias("url"), F.col(pdf_col).alias("html")
+    ).mapInArrow(run, PDF_SPAN_SCHEMA)
+
+
+def span_right_of_geo(
+    spans: DataFrame, keyword: str, y_tol_milli: int = 3000
+) -> DataFrame:
+    """(url, keyword_text, value): for each span containing ``keyword``,
+    the NEAREST span strictly to its right on the same visual line
+    (|dy| <= y_tol_milli, x greater) — the reference's
+    get_text_right_of on real coordinates.  One equi-join on url + a
+    min_by over dx; deterministic tiebreak by (dx, span_id).  DuckDB
+    replays the join by value (tests/test_pdflayout.py)."""
+    kw = spans.filter(F.col("text").contains(keyword)).select(
+        "url",
+        F.col("span_id").alias("kw_id"),
+        F.col("text").alias("keyword_text"),
+        F.col("x_milli").alias("kx"),
+        F.col("y_milli").alias("ky"),
+    )
+    cand = spans.select(
+        "url", "span_id", F.col("text").alias("value"), "x_milli", "y_milli"
+    )
+    j = kw.join(cand, "url").filter(
+        (F.col("span_id") != F.col("kw_id"))
+        & (F.abs(F.col("y_milli") - F.col("ky")) <= y_tol_milli)
+        & (F.col("x_milli") > F.col("kx"))
+    )
+    return j.groupBy("url", "kw_id", "keyword_text").agg(
+        F.min_by(
+            "value",
+            F.struct(
+                (F.col("x_milli") - F.col("kx")).alias("dx"),
+                F.col("span_id").alias("sid"),
+            ),
+        ).alias("value")
+    ).drop("kw_id")
+
+
+def span_below_geo(
+    spans: DataFrame, keyword: str, x_tol_milli: int = 50_000
+) -> DataFrame:
+    """(url, keyword_text, value): for each span containing ``keyword``,
+    the nearest span BELOW it (smaller y) whose x is within
+    ``x_tol_milli`` of the keyword's — get_text_below on real
+    coordinates; nearest by (dy, |dx|, span_id)."""
+    kw = spans.filter(F.col("text").contains(keyword)).select(
+        "url",
+        F.col("span_id").alias("kw_id"),
+        F.col("text").alias("keyword_text"),
+        F.col("x_milli").alias("kx"),
+        F.col("y_milli").alias("ky"),
+    )
+    cand = spans.select(
+        "url", "span_id", F.col("text").alias("value"), "x_milli", "y_milli"
+    )
+    j = kw.join(cand, "url").filter(
+        (F.col("span_id") != F.col("kw_id"))
+        & (F.col("y_milli") < F.col("ky"))
+        & (F.abs(F.col("x_milli") - F.col("kx")) <= x_tol_milli)
+    )
+    return j.groupBy("url", "kw_id", "keyword_text").agg(
+        F.min_by(
+            "value",
+            F.struct(
+                (F.col("ky") - F.col("y_milli")).alias("dy"),
+                F.abs(F.col("x_milli") - F.col("kx")).alias("adx"),
+                F.col("span_id").alias("sid"),
+            ),
+        ).alias("value")
+    ).drop("kw_id")

@@ -36,14 +36,29 @@ _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
 # ops is ~3000 lines, far beyond any fixture or sane invoice)
 MAX_INFLATED_BYTES = 1 << 22  # 4 MiB
 _TEXTOBJ_RE = re.compile(rb"BT(.*?)ET", re.S)
-# one operator token at a time inside a text object
+_NUM = rb"-?\d+(?:\.\d+)?"
+# one operator token at a time inside a text object, WITH operands for
+# the positioning ops (r06 layout upgrade: Td/TD translations, TL
+# leading, Tm text matrix, Tf font size are tracked so every shown
+# string carries its page position)
 _OP_RE = re.compile(
-    rb"\((?:[^()\\]|\\.)*\)\s*Tj"      # (..) Tj
-    rb"|\[(?:[^\]\\]|\\.)*?\]\s*TJ"    # [..] TJ
-    rb"|T\*|Td|TD",
+    rb"\((?:[^()\\]|\\.)*\)\s*Tj"                               # (..) Tj
+    rb"|\[(?:[^\]\\]|\\.)*?\]\s*TJ"                             # [..] TJ
+    rb"|(?P<tdx>" + _NUM + rb")\s+(?P<tdy>" + _NUM + rb")\s+(?P<tdop>Td|TD)"
+    rb"|(?P<tl>" + _NUM + rb")\s+TL"
+    rb"|/\w+\s+(?P<tf>" + _NUM + rb")\s+Tf"
+    rb"|(?P<tm>(?:" + _NUM + rb"\s+){6})Tm"
+    rb"|T\*",
     re.S,
 )
 _STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)", re.S)
+
+
+def _milli(tok: bytes) -> int:
+    """PDF numeric operand -> exact integer milli-units (house rule: no
+    float leaves pycore; 1/1000 pt resolution is far below any layout
+    decision threshold)."""
+    return int(round(float(tok) * 1000))
 
 _ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"(": b"(", b")": b")", b"\\": b"\\"}
 
@@ -91,42 +106,102 @@ def _stream_bodies(raw: bytes):
         yield body
 
 
-def tokenize_pdf(raw: bytes) -> List[Dict]:
-    """PDF bytes -> node dicts with the same fields as tokenize_html.
+def pdf_spans(raw: bytes) -> List[Dict]:
+    """PDF bytes -> positioned text spans, the LAYOUT-PARSE output (r06):
+    ``[{"text", "x_milli", "y_milli", "size_milli", "seq"}, ...]`` in
+    STREAM order.  One span per text-showing run at a distinct line
+    origin; positions are the PDF text-space line origin in integer
+    milli-points (user space = text space here: the graft tracks Tm's
+    translation and Td/TD/T*/TL line moves, the exact subset the
+    reference's PP-Structure layout boxes correspond to — glyph-width
+    advances need font metrics and are out of scope, so consecutive
+    shows on one line concatenate at the line origin).
 
-    Each text line (separated by Td/TD/T*) becomes one node with
-    tag_class='p'; link stats are always 0 (PDF has no anchors here).
+    State per text object (PDF 32000-1 §9.4.2): BT resets the matrix to
+    identity; ``a b c d e f Tm`` sets the line origin to (e, f);
+    ``tx ty Td`` translates it; ``tx ty TD`` also sets leading = -ty;
+    ``v TL`` sets leading; ``T*`` moves (0, -leading); ``/F s Tf``
+    tracks the font size.  Never raises; garbage yields [].
     """
-    nodes: List[Dict] = []
-    lines: List[bytes] = []
-    cur: List[bytes] = []
-
-    def endline() -> None:
-        nonlocal cur
-        if cur:
-            lines.append(b"".join(cur))
-            cur = []
-
+    spans: List[Dict] = []
     for stream in _stream_bodies(raw):
         for textobj in _TEXTOBJ_RE.finditer(stream):
+            x = y = 0
+            leading = 0
+            size = 12_000
+            cur: List[bytes] = []
+            cur_xy = (0, 0)
+            cur_size = size
+
+            def flush() -> None:
+                nonlocal cur
+                if cur:
+                    text = b"".join(cur).decode("utf-8", errors="replace")
+                    text = re.sub(r"\s+", " ", text).strip()
+                    if text:
+                        spans.append(
+                            {
+                                "text": text,
+                                "x_milli": cur_xy[0],
+                                "y_milli": cur_xy[1],
+                                "size_milli": cur_size,
+                                "seq": len(spans),
+                            }
+                        )
+                    cur = []
+
             for op in _OP_RE.finditer(textobj.group(0)):
                 tok = op.group(0)
                 if tok.endswith(b"Tj"):
                     s = _STR_RE.search(tok)
                     if s:
+                        if not cur:
+                            cur_xy, cur_size = (x, y), size
                         cur.append(_unescape_pdf_string(s.group(0)[1:-1]))
                 elif tok.endswith(b"TJ"):
+                    if not cur:
+                        cur_xy, cur_size = (x, y), size
                     for s in _STR_RE.finditer(tok):
                         cur.append(_unescape_pdf_string(s.group(0)[1:-1]))
-                else:  # Td / TD / T* -> new line
-                    endline()
-            endline()
+                elif op.group("tdop") is not None:
+                    flush()
+                    tx, ty = _milli(op.group("tdx")), _milli(op.group("tdy"))
+                    x, y = x + tx, y + ty
+                    if op.group("tdop") == b"TD":
+                        leading = -ty
+                elif op.group("tl") is not None:
+                    leading = _milli(op.group("tl"))
+                elif op.group("tf") is not None:
+                    size = _milli(op.group("tf"))
+                elif op.group("tm") is not None:
+                    flush()
+                    nums = op.group("tm").split()
+                    x, y = _milli(nums[4]), _milli(nums[5])
+                else:  # T*
+                    flush()
+                    y -= leading
+            flush()
+    return spans
 
-    for raw_line in lines:
-        text = raw_line.decode("utf-8", errors="replace")
-        text = re.sub(r"\s+", " ", text).strip()
-        if not text:
-            continue
+
+def tokenize_pdf(raw: bytes) -> List[Dict]:
+    """PDF bytes -> node dicts with the same fields as tokenize_html,
+    in READING order: spans sorted by (y descending, x ascending, stream
+    sequence) — PDF y grows up-page, and content streams are free to
+    emit text out of visual order (footers first, columns interleaved),
+    so stream order is NOT reading order.  For monotonically-descending
+    single-column documents (every fixture) this equals stream order,
+    which keeps the e2e byte-identity contract unchanged.
+
+    Each span becomes one node with tag_class='p'; link stats are
+    always 0 (PDF has no anchors here).
+    """
+    nodes: List[Dict] = []
+    ordered = sorted(
+        pdf_spans(raw), key=lambda s: (-s["y_milli"], s["x_milli"], s["seq"])
+    )
+    for span in ordered:
+        text = span["text"]
         nodes.append(
             {
                 "node_id": len(nodes),

@@ -1,0 +1,228 @@
+"""PDF layout parse (r06): positioned spans from Tm/Td/TD/T*/TL state,
+reading-order tokenization, and the geometric span predicates —
+the reference's bounding-box world (span_utils.get_text_right_of /
+get_text_below) on real PDF coordinates instead of token positions."""
+
+import zlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from image_ocr_spark.operators.spans import (
+    pdf_layout_spans,
+    span_below_geo,
+    span_right_of_geo,
+)
+from image_ocr_spark.pycore.pdftok import make_pdf, pdf_spans, tokenize_pdf
+
+
+def _raw_pdf(content: bytes) -> bytes:
+    stream = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+    return b"%PDF-1.4\n" + stream
+
+
+_INVOICE_CONTENT = b"""BT
+/F1 14 Tf
+1 0 0 1 72 700 Tm
+(INVOICE) Tj
+/F1 10 Tf
+0 -20 Td
+(Date:) Tj
+60 0 Td
+(2026-01-15) Tj
+1 0 0 1 72 660 Tm
+(Total:) Tj
+65 0 Td
+(4200) Tj
+ET
+BT
+/F1 8 Tf
+1 0 0 1 72 40 Tm
+(page footer) Tj
+ET"""
+
+
+def test_positions_and_state_machine():
+    sp = {s["text"]: s for s in pdf_spans(_raw_pdf(_INVOICE_CONTENT))}
+    assert sp["INVOICE"] == {
+        "text": "INVOICE", "x_milli": 72000, "y_milli": 700000,
+        "size_milli": 14000, "seq": 0,
+    }
+    assert (sp["Date:"]["x_milli"], sp["Date:"]["y_milli"]) == (72000, 680000)
+    assert (sp["2026-01-15"]["x_milli"], sp["2026-01-15"]["y_milli"]) == (
+        132000, 680000,
+    )
+    assert (sp["Total:"]["y_milli"], sp["4200"]["x_milli"]) == (660000, 137000)
+    assert sp["page footer"]["size_milli"] == 8000
+    assert sp["Date:"]["size_milli"] == 10000
+
+
+def test_reading_order_beats_stream_order():
+    """Footer emitted in a SECOND text object still sorts last; a stream
+    that draws the footer FIRST sorts it last all the same."""
+    flipped = b"""BT
+/F1 8 Tf
+1 0 0 1 72 40 Tm
+(footer first in stream) Tj
+ET
+BT
+1 0 0 1 72 700 Tm
+(headline) Tj
+14 TL
+T*
+(body) Tj
+ET"""
+    texts = [n["text"] for n in tokenize_pdf(_raw_pdf(flipped))]
+    assert texts == ["headline", "body", "footer first in stream"]
+
+
+def test_td_vs_td_leading_and_tstar():
+    content = b"""BT
+1 0 0 1 10 500 Tm
+(a) Tj
+0 -12 TD
+(b) Tj
+T*
+(c) Tj
+ET"""
+    sp = {s["text"]: s["y_milli"] for s in pdf_spans(_raw_pdf(content))}
+    # TD sets leading to 12; T* then moves another 12 down
+    assert sp == {"a": 500000, "b": 488000, "c": 476000}
+
+
+def test_fixture_writer_regression():
+    """make_pdf output (monotonic Td descent) tokenizes to the same node
+    stream as before the layout upgrade — the e2e byte-identity
+    contract's PDF leg."""
+    nodes = tokenize_pdf(make_pdf(["Article 7", "body text here"]))
+    assert [n["text"] for n in nodes] == ["Article 7", "body text here"]
+    assert [n["n_words"] for n in nodes] == [2, 3]
+    nodes_raw = tokenize_pdf(make_pdf(["x"], compress=False))
+    assert [n["text"] for n in nodes_raw] == ["x"]
+
+
+def test_hostile_input_never_raises():
+    for garbage in (b"", b"%PDF-1.4 junk", b"%PDF" + b"(" * 5000,
+                    _raw_pdf(b"BT (unclosed Tj ET"), b"\x00" * 64):
+        assert isinstance(pdf_spans(garbage), list)
+        assert isinstance(tokenize_pdf(garbage), list)
+
+
+@pytest.fixture(scope="module")
+def span_rows(spark):
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/inv", _raw_pdf(_INVOICE_CONTENT)),
+            ("http://b.example/doc", make_pdf(["plain doc", "two lines"])),
+            ("http://c.example/not-pdf", b"<html>nope</html>"),
+            ("http://d.example/null", None),
+        ],
+        "url string, html binary",
+    )
+    df = pdf_layout_spans(pages)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scan-stage only
+    return pages, df
+
+
+def test_spark_spans_match_pycore(spark, span_rows):
+    pages, df = span_rows
+    got = sorted(
+        (r.url, r.span_id, r.text, r.x_milli, r.y_milli, r.size_milli)
+        for r in df.collect()
+    )
+    want = []
+    for r in pages.collect():
+        raw = bytes(r.html) if r.html is not None else b""
+        if raw[:5] != b"%PDF-":
+            continue
+        for sp in pdf_spans(raw):
+            want.append(
+                (r.url, sp["seq"], sp["text"], sp["x_milli"], sp["y_milli"],
+                 sp["size_milli"])
+            )
+    assert got == sorted(want) and len(got) > 0
+
+
+def test_geometric_predicates_match_duckdb(spark, span_rows):
+    """right_of / below on real coordinates — value-replayed by DuckDB
+    from the exported span relation (the engine-parity discipline)."""
+    _, df = span_rows
+    rows = [
+        (r.url, r.span_id, r.text, r.x_milli, r.y_milli) for r in df.collect()
+    ]
+    right = sorted(
+        tuple(r)
+        for r in span_right_of_geo(df, "Date:").select(
+            "url", "keyword_text", "value"
+        ).collect()
+    )
+    below = sorted(
+        tuple(r)
+        for r in span_below_geo(df, "INVOICE").select(
+            "url", "keyword_text", "value"
+        ).collect()
+    )
+    assert right == [("http://a.example/inv", "Date:", "2026-01-15")]
+    # nearest below INVOICE within x tolerance is the Date: line
+    assert below == [("http://a.example/inv", "INVOICE", "Date:")]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE s(url VARCHAR, span_id INT, text VARCHAR,"
+        " x_milli BIGINT, y_milli BIGINT)"
+    )
+    con.executemany("INSERT INTO s VALUES (?,?,?,?,?)", rows)
+    want_right = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT url, keyword_text, value FROM (
+              SELECT k.url, k.text AS keyword_text, c.text AS value,
+                     row_number() OVER (
+                       PARTITION BY k.url, k.span_id
+                       ORDER BY c.x_milli - k.x_milli, c.span_id) AS rn
+              FROM s k JOIN s c ON k.url = c.url AND k.span_id <> c.span_id
+              WHERE contains(k.text, 'Date:')
+                AND abs(c.y_milli - k.y_milli) <= 3000
+                AND c.x_milli > k.x_milli
+            ) WHERE rn = 1
+            """
+        ).fetchall()
+    )
+    want_below = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT url, keyword_text, value FROM (
+              SELECT k.url, k.text AS keyword_text, c.text AS value,
+                     row_number() OVER (
+                       PARTITION BY k.url, k.span_id
+                       ORDER BY k.y_milli - c.y_milli,
+                                abs(c.x_milli - k.x_milli), c.span_id) AS rn
+              FROM s k JOIN s c ON k.url = c.url AND k.span_id <> c.span_id
+              WHERE contains(k.text, 'INVOICE')
+                AND c.y_milli < k.y_milli
+                AND abs(c.x_milli - k.x_milli) <= 50000
+            ) WHERE rn = 1
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert right == want_right and below == want_below
+
+
+def test_fuzz_never_raises_and_parses_bounded():
+    """Byte-soup fuzz over a valid base: pdf_spans either parses or
+    yields fewer/garbled spans, never raises (frontier-parser policy)."""
+    import random
+
+    rnd = random.Random(31)
+    base = bytearray(_raw_pdf(_INVOICE_CONTENT))
+    for _ in range(500):
+        raw = bytearray(base)
+        for _ in range(rnd.randrange(1, 6)):
+            raw[rnd.randrange(len(raw))] = rnd.randrange(256)
+        spans = pdf_spans(bytes(raw))
+        assert isinstance(spans, list) and len(spans) <= 40
