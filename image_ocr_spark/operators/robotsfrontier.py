@@ -243,3 +243,93 @@ def sitemap_entries(
         F.col(host_col).alias("host"), F.col(xml_col).alias("sitemap_xml")
     )
     return rows.mapInArrow(_sitemap_batches(), SITEMAP_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Politeness scheduling + crawl-budget allocation (r06) — the stage AFTER
+# frontier_select: a selected frontier is not yet a crawl plan.  Real
+# schedulers (Heritrix's frontier, Nutch's generate step) turn it into
+# per-host fetch queues that respect crawl-delay and cap per-host volume
+# by a centrality-derived budget.  Both stages are single-shuffle window/
+# join expressions — no Python — and integer-exact, so DuckDB replays
+# them by value (tests/test_frontier_compose.py).
+# ---------------------------------------------------------------------------
+
+
+def schedule_frontier(
+    frontier: DataFrame,
+    round_start_epoch_milli: int = 0,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """(host, url, priority_milli, fetch_seq, fetch_epoch_milli): per-host
+    fetch slots over a selected frontier — slot i of a host fetches at
+    ``round_start + i * crawl_delay_milli`` (hosts declaring no delay
+    schedule everything at round start: politeness is the HOST's claim,
+    not the crawler's pacing policy).  Within a host, urls order by
+    (priority desc, url asc) — deterministic under ties.  Optional
+    ``max_per_host`` truncates each host's queue (the static form of the
+    budget join below).
+
+    ONE shuffle (window partitioned by host).  At 10^12 urls the window
+    sorts per host partition and spills; a pathological mega-host is
+    bounded by its budget, so the sort is capped too when
+    ``max_per_host``/``allocate_crawl_budget`` is applied — apply the cap
+    HERE, not downstream, to keep the sort bounded."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority_milli"), F.asc("url")
+    )
+    out = frontier.withColumn(
+        "fetch_seq", F.row_number().over(w).cast("long") - 1
+    )
+    if max_per_host is not None:
+        out = out.filter(F.col("fetch_seq") < max_per_host)
+    return out.withColumn(
+        "fetch_epoch_milli",
+        F.lit(round_start_epoch_milli)
+        + F.col("fetch_seq") * F.coalesce(F.col("crawl_delay_milli"), F.lit(0)),
+    )
+
+
+def allocate_crawl_budget(
+    hosts: DataFrame,
+    total_budget: int,
+    rank_col: str = "rank",
+    min_per_host: int = 1,
+) -> DataFrame:
+    """(host, budget): per-host url budget proportional to a centrality
+    prior (host_rank's integer micro-ranks), floored at ``min_per_host``
+    — the CCNet/RefinedWeb-style 'crawl more where quality lives' knob.
+
+    budget_h = max(min_per_host, (total_budget * rank_h) div sum(rank)) —
+    exact integer arithmetic (rank sums fit int64 against micro-rank
+    scales up to ~10^12 hosts * 10^6), deterministic, DuckDB-replayable.
+    Flooring means sum(budget) can exceed total_budget by up to
+    min_per_host * n_hosts — the standard allocation slack; callers
+    wanting a hard global cap trim the tail by rank order."""
+    total = hosts.agg(F.sum(rank_col).alias("t")).collect()[0].t or 1
+    # integer `div`, never double `/`: at rank sums ~1e10 the double
+    # quotient's ulp reaches the 1/total fraction grid and a truncate
+    # could disagree with exact floor-div between engines
+    share = F.expr(f"(cast({total_budget} as bigint) * {rank_col}) div {int(total)}")
+    return hosts.select(
+        "host",
+        F.greatest(F.lit(min_per_host).cast("long"), share).alias("budget"),
+    )
+
+
+def schedule_with_budget(
+    frontier: DataFrame,
+    budgets: DataFrame,
+    round_start_epoch_milli: int = 0,
+) -> DataFrame:
+    """schedule_frontier with a PER-HOST cap from allocate_crawl_budget:
+    broadcast-join the (host, budget) table (host-count-sized — always
+    the small side), then keep fetch_seq < budget.  Hosts absent from
+    the budget table keep an uncapped queue (min_per_host semantics are
+    the allocator's job, not the scheduler's)."""
+    sched = schedule_frontier(frontier, round_start_epoch_milli)
+    return sched.join(F.broadcast(budgets), "host", "left").filter(
+        F.col("budget").isNull() | (F.col("fetch_seq") < F.col("budget"))
+    ).drop("budget")

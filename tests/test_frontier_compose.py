@@ -109,3 +109,114 @@ def test_frontier_plan_shape(spark, round_inputs):
                 or "sitemap_xml" in line  # sitemap parse (host-sized)
                 or "probe(" in line       # bloom bit test (vectorized)
             ), line
+
+
+def test_schedule_frontier_matches_duckdb(spark):
+    """Politeness scheduler (r06): per-host fetch slots respect
+    crawl_delay, order by (priority desc, url asc), truncate at
+    max_per_host — replayed by DuckDB row_number by value."""
+    import duckdb
+
+    from image_ocr_spark.operators.robotsfrontier import schedule_frontier
+
+    rows = [
+        # host, url, priority_milli, crawl_delay_milli
+        ("h1", "http://h1/a", 900, 2000),
+        ("h1", "http://h1/b", 900, 2000),   # tie -> url asc
+        ("h1", "http://h1/c", 500, 2000),
+        ("h1", "http://h1/d", 100, 2000),   # truncated at max_per_host=3
+        ("h2", "http://h2/x", 700, 0),      # no delay -> all at start
+        ("h2", "http://h2/y", 800, 0),
+        ("h3", "http://h3/only", 500, None),  # null delay == none declared
+    ]
+    f = spark.createDataFrame(
+        rows,
+        "host string, url string, priority_milli long, crawl_delay_milli long",
+    )
+    got = sorted(
+        (r.host, r.url, r.fetch_seq, r.fetch_epoch_milli)
+        for r in schedule_frontier(
+            f, round_start_epoch_milli=1_000_000, max_per_host=3
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE f(host VARCHAR, url VARCHAR, priority_milli BIGINT,"
+        " crawl_delay_milli BIGINT)"
+    )
+    con.executemany("INSERT INTO f VALUES (?,?,?,?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT host, url, seq,
+                   1000000 + seq * coalesce(crawl_delay_milli, 0)
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY host
+                    ORDER BY priority_milli DESC, url ASC)::BIGINT - 1 AS seq
+                  FROM f)
+            WHERE seq < 3
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    by_host = {}
+    for h, u, s, t in got:
+        by_host.setdefault(h, []).append((s, u, t))
+    assert [u for _, u, _ in sorted(by_host["h1"])] == [
+        "http://h1/a", "http://h1/b", "http://h1/c"
+    ]
+    assert [t for _, _, t in sorted(by_host["h1"])] == [
+        1_000_000, 1_002_000, 1_004_000
+    ]
+    assert all(t == 1_000_000 for _, _, t in by_host["h2"])
+
+
+def test_budget_allocation_and_capped_schedule(spark):
+    """Crawl budget proportional to host_rank micro-ranks (integer div,
+    floored at min_per_host), then the budget-capped schedule — the
+    full select -> budget -> schedule chain."""
+    import duckdb
+
+    from image_ocr_spark.operators.robotsfrontier import (
+        allocate_crawl_budget,
+        schedule_with_budget,
+    )
+
+    hosts = spark.createDataFrame(
+        [("big", 3_000_000), ("mid", 900_000), ("tiny", 100_000)],
+        "host string, rank long",
+    )
+    budgets = allocate_crawl_budget(hosts, total_budget=8, min_per_host=1)
+    got_b = {r.host: r.budget for r in budgets.collect()}
+    con = duckdb.connect()
+    want_b = {
+        h: max(1, (8 * r) // 4_000_000)
+        for h, r in (("big", 3_000_000), ("mid", 900_000), ("tiny", 100_000))
+    }
+    con.close()
+    assert got_b == want_b == {"big": 6, "mid": 1, "tiny": 1}
+
+    frontier = spark.createDataFrame(
+        [
+            ("big", f"http://big/{i}", 1000 - i, 100) for i in range(10)
+        ] + [
+            ("tiny", f"http://tiny/{i}", 500, 100) for i in range(4)
+        ] + [
+            ("nobudget", "http://n/0", 500, 100),
+        ],
+        "host string, url string, priority_milli long, crawl_delay_milli long",
+    )
+    sched = schedule_with_budget(frontier, budgets)
+    per_host = {
+        h: n
+        for h, n in sched.groupBy("host").count().collect()
+    }
+    # big capped at its budget 6, tiny at 1, unbudgeted host uncapped
+    assert per_host == {"big": 6, "tiny": 1, "nobudget": 1}
+    # the kept slots are the TOP-priority ones
+    kept = sorted(
+        r.url for r in sched.filter(F.col("host") == "big").collect()
+    )
+    assert kept == [f"http://big/{i}" for i in range(6)]
