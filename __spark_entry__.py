@@ -1377,6 +1377,59 @@ def q_frontier_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_span_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF LAYOUT geometry end to end (r06: pycore/pdftok.pdf_spans +
+    operators/spans.span_right_of_geo/span_below_geo): per-doc PDF
+    content streams synthesized closed-form (Tm absolute positioning, Td
+    line moves), parsed into positioned spans, then the reference's
+    bounding-box predicates — value-right-of on the same visual line,
+    nearest-below within a column tolerance — resolved by min_by joins.
+    The oracle restates each leg's answer from the synthesis formula, so
+    equality proves parse + state machine + geometry.  Three legs per
+    doc: Date:'s right neighbor, Total:'s right neighbor, Invoice's
+    below neighbor."""
+    from image_ocr_spark.operators.spans import (
+        pdf_layout_spans,
+        span_below_geo,
+        span_right_of_geo,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    date_s = F.format_string("2026-01-%02d", (F.col("doc_id") % 28 + 1).cast("int"))
+    amount = ((F.col("doc_id") * 37) % 9000 + 100).cast("string")
+    content = F.concat(
+        F.lit("BT /F1 12 Tf 1 0 0 1 72 700 Tm (Invoice "), sid,
+        F.lit(") Tj 0 -20 Td (Date:) Tj 60 0 Td ("), date_s,
+        F.lit(") Tj 1 0 0 1 72 660 Tm (Total:) Tj 65 0 Td ("), amount,
+        F.lit(") Tj ET"),
+    )
+    pdf = F.concat(
+        F.lit("%PDF-1.4\n<< /Length 0 >>\nstream\n"), content,
+        F.lit("\nendstream"),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://pdf.example/d"), sid).alias("url"),
+        F.encode(pdf, "UTF-8").alias("html"),
+    )
+    spans = pdf_layout_spans(pages)
+    legs = [
+        span_right_of_geo(spans, "Date:").select(
+            "url", F.lit("right_of").alias("rel"), "keyword_text", "value"
+        ),
+        span_right_of_geo(spans, "Total:").select(
+            "url", F.lit("right_of").alias("rel"), "keyword_text", "value"
+        ),
+        span_below_geo(spans, "Invoice").select(
+            "url", F.lit("below").alias("rel"), "keyword_text", "value"
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract": q_flagship,
@@ -1418,7 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_select": q_corpus_select,
         "dedup_clusters": q_dedup_clusters,
         "text_repetition": q_text_repetition,
-        "host_stats": q_host_stats,
+        "pdf_span_geometry": q_pdf_span_geometry,
         "ivf_recall_mean": q_ivf_recall_mean,
         "ivf_recall_clustered": q_ivf_recall_clustered,
         "kmeans_batched_seeds": q_kmeans_batched_seeds,
@@ -3041,15 +3094,24 @@ def oracle_sql() -> dict[str, str]:
                 AS max_2gram_count
             FROM g
         """,
-        "host_stats": _PAGE_CTE + """
-            SELECT CASE WHEN doc_id % 10 < 3 THEN 'big.example.com'
-                        ELSE 'h' || (doc_id % 97)::VARCHAR || '.example.net'
-                   END AS host,
-                   count(*) AS n_docs,
-                   sum(length(text))::BIGINT AS sum_text_chars,
-                   sum(CASE WHEN doc_type <> 'unknown' THEN 1 ELSE 0 END)::BIGINT
-                     AS n_classified
-            FROM pages GROUP BY 1
+        # three legs per doc, all closed-form: the Date:/Total: right
+        # neighbors are the synthesized value strings; Invoice's nearest
+        # below within the 50pt column tolerance is the Date: label
+        # (Total:'s value cell at x=137 is 65pt right -> excluded)
+        "pdf_span_geometry": """
+            SELECT 'http://pdf.example/d' || doc_id::VARCHAR AS url,
+                   'right_of' AS rel, 'Date:' AS keyword_text,
+                   printf('2026-01-%02d', (doc_id % 28 + 1)::INT) AS value
+            FROM documents
+            UNION ALL
+            SELECT 'http://pdf.example/d' || doc_id::VARCHAR,
+                   'right_of', 'Total:',
+                   ((doc_id * 37) % 9000 + 100)::VARCHAR
+            FROM documents
+            UNION ALL
+            SELECT 'http://pdf.example/d' || doc_id::VARCHAR,
+                   'below', 'Invoice ' || doc_id::VARCHAR, 'Date:'
+            FROM documents
         """,
         # forced-pdf strategy: pdf pages (k=8) parse natively; html pages
         # fall back to the html tokenizer; only the whitespace edge kind
@@ -3178,6 +3240,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "invoice_warnings": q_invoice_warnings,
         "token_count_bpe": q_token_count_bpe,
         "stream_window_counts": q_stream_window_counts,
+        "host_stats": q_host_stats,
     }
 
 
@@ -3246,5 +3309,15 @@ def retired_oracle_sql() -> dict[str, str]:
                    coalesce(lang, 'en') AS lang,
                    count(*) AS n_pages
             FROM documents GROUP BY 1, 2
+        """,
+        "host_stats": _PAGE_CTE + """
+            SELECT CASE WHEN doc_id % 10 < 3 THEN 'big.example.com'
+                        ELSE 'h' || (doc_id % 97)::VARCHAR || '.example.net'
+                   END AS host,
+                   count(*) AS n_docs,
+                   sum(length(text))::BIGINT AS sum_text_chars,
+                   sum(CASE WHEN doc_type <> 'unknown' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_classified
+            FROM pages GROUP BY 1
         """,
     }
