@@ -852,6 +852,7 @@ def bloom_build_main() -> None:
         DEFAULT_K,
         bloom_build,
         bloom_position_rows,
+        pack_position_rows,
     )
     from image_ocr_spark.session import get_spark
 
@@ -869,9 +870,7 @@ def bloom_build_main() -> None:
 
     t0 = time.time()
     rows = bloom_position_rows(keys, "text", m_bits, DEFAULT_K).collect()
-    old = np.zeros(m_bits // 8, dtype=np.uint8)
-    pos = np.fromiter((r.pos for r in rows), dtype=np.int64, count=len(rows))
-    np.bitwise_or.at(old, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    old = pack_position_rows(rows, m_bits)
     t_old = time.time() - t0
 
     equal = bool(np.array_equal(bm, old))

@@ -96,6 +96,21 @@ def bloom_position_rows(
     return df.select(F.explode(pos).alias("pos")).distinct()
 
 
+def pack_position_rows(rows, m_bits: int):
+    """Bitmap from collected (pos) Rows — the RETIRED driver-side build
+    formulation, kept as the single parity/bench twin of bloom_build
+    (tests/test_bloom.py, bench.py --bloom-build) so the bit-packing
+    convention lives in exactly one place.  Do not use in pipelines:
+    it materializes every distinct position as a driver Row."""
+    import numpy as np
+
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    if rows:
+        pos = np.fromiter((r.pos for r in rows), dtype=np.int64, count=len(rows))
+        np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bitmap
+
+
 def bloom_build(
     df: DataFrame,
     key_col: str = "text",

@@ -187,13 +187,25 @@ def media_pixel_stats(raw: bytes):
         try:
             w, h, ch, px = webp_decode(raw)  # VP8L, pure from-scratch
         except ValueError as exc:
-            # lossy VP8 / VP8X: bind to the system libwebp when present
-            # (pycore/vp8sys.py — the reference's own system-decoder
-            # posture); keep the documented boundary error otherwise
-            from image_ocr_spark.pycore.vp8sys import decode_rgb, vp8_available
+            # ONLY the container-level boundaries route to the system
+            # libwebp binding (pycore/vp8sys.py — the reference's own
+            # system-decoder posture): 'VP8 ' chunks (lossy, never has
+            # alpha -> RGB) and VP8X extended containers (may carry
+            # alpha -> RGBA).  VP8L-internal errors (transforms, meta
+            # prefix, corruption) stay raised: that format is the
+            # from-scratch domain, and routing it would make output
+            # channel counts depend on which machine decodes.
+            from image_ocr_spark.pycore.vp8sys import (
+                decode_rgb,
+                decode_rgba,
+                vp8_available,
+            )
 
-            if "not supported" in str(exc) and vp8_available():
+            msg = str(exc)
+            if msg.startswith("lossy WebP") and vp8_available():
                 w, h, ch, px = decode_rgb(raw)
+            elif msg.startswith("extended WebP") and vp8_available():
+                w, h, ch, px = decode_rgba(raw)
             else:
                 raise
     else:

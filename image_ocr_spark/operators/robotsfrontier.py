@@ -280,15 +280,22 @@ def schedule_frontier(
     w = Window.partitionBy("host").orderBy(
         F.desc("priority_milli"), F.asc("url")
     )
-    out = frontier.withColumn(
-        "fetch_seq", F.row_number().over(w).cast("long") - 1
-    )
+    # filter on the RAW row_number against a literal so Spark's
+    # InferWindowGroupLimit can turn the window sort into a bounded
+    # per-host top-k (plan-asserted in tests); deriving fetch_seq first
+    # hides the rank from the optimizer's pattern
+    out = frontier.withColumn("__rn", F.row_number().over(w))
     if max_per_host is not None:
-        out = out.filter(F.col("fetch_seq") < max_per_host)
-    return out.withColumn(
-        "fetch_epoch_milli",
-        F.lit(round_start_epoch_milli)
-        + F.col("fetch_seq") * F.coalesce(F.col("crawl_delay_milli"), F.lit(0)),
+        out = out.filter(F.col("__rn") <= int(max_per_host))
+    return (
+        out.withColumn("fetch_seq", F.col("__rn").cast("long") - 1)
+        .drop("__rn")
+        .withColumn(
+            "fetch_epoch_milli",
+            F.lit(round_start_epoch_milli)
+            + F.col("fetch_seq")
+            * F.coalesce(F.col("crawl_delay_milli"), F.lit(0)),
+        )
     )
 
 
@@ -324,12 +331,21 @@ def schedule_with_budget(
     budgets: DataFrame,
     round_start_epoch_milli: int = 0,
 ) -> DataFrame:
-    """schedule_frontier with a PER-HOST cap from allocate_crawl_budget:
-    broadcast-join the (host, budget) table (host-count-sized — always
-    the small side), then keep fetch_seq < budget.  Hosts absent from
-    the budget table keep an uncapped queue (min_per_host semantics are
-    the allocator's job, not the scheduler's)."""
-    sched = schedule_frontier(frontier, round_start_epoch_milli)
+    """schedule_frontier with a PER-HOST cap from allocate_crawl_budget.
+
+    The sort bound is two-stage: the GLOBAL max budget (one tiny agg on
+    the host-count-sized table) becomes schedule_frontier's LITERAL
+    max_per_host — a rank-vs-literal predicate the optimizer can push
+    into the window as a bounded per-host top-k — and the exact
+    per-host budget then filters through a broadcast join (a
+    rank-vs-column predicate is NOT pushable, so it must not be the
+    only cap).  Consequence: hosts absent from the budget table are
+    capped at the global max budget rather than unbounded — the sane
+    scheduler default, and what keeps a pathological mega-host's sort
+    bounded."""
+    row = budgets.agg(F.max("budget").alias("m")).collect()[0]
+    cap = None if row.m is None else int(row.m)
+    sched = schedule_frontier(frontier, round_start_epoch_milli, max_per_host=cap)
     return sched.join(F.broadcast(budgets), "host", "left").filter(
         F.col("budget").isNull() | (F.col("fetch_seq") < F.col("budget"))
     ).drop("budget")

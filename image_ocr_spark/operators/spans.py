@@ -147,14 +147,15 @@ def label_spans_sql(extracted: DataFrame, key: str = "url") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PDF_SPAN_SCHEMA = (
-    "url string, span_id int, text string, x_milli long, y_milli long,"
-    " size_milli long"
+    "url string, span_id int, page int, text string, x_milli long,"
+    " y_milli long, size_milli long"
 )
 
 _PDF_SPAN_ARROW = pa.schema(
     [
         pa.field("url", pa.string()),
         pa.field("span_id", pa.int32()),
+        pa.field("page", pa.int32()),
         pa.field("text", pa.string()),
         pa.field("x_milli", pa.int64()),
         pa.field("y_milli", pa.int64()),
@@ -166,8 +167,10 @@ _PDF_SPAN_ARROW = pa.schema(
 def pdf_layout_spans(
     pages: DataFrame, url_col: str = "url", pdf_col: str = "html"
 ) -> DataFrame:
-    """(url, span_id, text, x_milli, y_milli, size_milli) — one row per
-    positioned text span of each PDF payload, stream-sequence span_id.
+    """(url, span_id, page, text, x_milli, y_milli, size_milli) — one
+    row per positioned text span of each PDF payload, stream-sequence
+    span_id, content-stream index as page (geometry is only comparable
+    WITHIN a page).
     One scan-stage Arrow pass (the tokenizer discipline: only the two
     needed columns cross the boundary, zero shuffle); non-PDF or
     unparseable payloads yield no rows (never-raise policy)."""
@@ -185,6 +188,7 @@ def pdf_layout_spans(
                 for sp in pdf_spans(raw):
                     cols["url"].append(url)
                     cols["span_id"].append(sp["seq"])
+                    cols["page"].append(sp["page"])
                     cols["text"].append(sp["text"])
                     cols["x_milli"].append(sp["x_milli"])
                     cols["y_milli"].append(sp["y_milli"])
@@ -206,22 +210,24 @@ def span_right_of_geo(
     spans: DataFrame, keyword: str, y_tol_milli: int = 3000
 ) -> DataFrame:
     """(url, keyword_text, value): for each span containing ``keyword``,
-    the NEAREST span strictly to its right on the same visual line
+    the NEAREST span strictly to its right on the same visual line of the SAME page
     (|dy| <= y_tol_milli, x greater) — the reference's
     get_text_right_of on real coordinates.  One equi-join on url + a
     min_by over dx; deterministic tiebreak by (dx, span_id).  DuckDB
     replays the join by value (tests/test_pdflayout.py)."""
     kw = spans.filter(F.col("text").contains(keyword)).select(
         "url",
+        "page",
         F.col("span_id").alias("kw_id"),
         F.col("text").alias("keyword_text"),
         F.col("x_milli").alias("kx"),
         F.col("y_milli").alias("ky"),
     )
     cand = spans.select(
-        "url", "span_id", F.col("text").alias("value"), "x_milli", "y_milli"
+        "url", "page", "span_id", F.col("text").alias("value"),
+        "x_milli", "y_milli",
     )
-    j = kw.join(cand, "url").filter(
+    j = kw.join(cand, ["url", "page"]).filter(
         (F.col("span_id") != F.col("kw_id"))
         & (F.abs(F.col("y_milli") - F.col("ky")) <= y_tol_milli)
         & (F.col("x_milli") > F.col("kx"))
@@ -241,20 +247,22 @@ def span_below_geo(
     spans: DataFrame, keyword: str, x_tol_milli: int = 50_000
 ) -> DataFrame:
     """(url, keyword_text, value): for each span containing ``keyword``,
-    the nearest span BELOW it (smaller y) whose x is within
+    the nearest span BELOW it on the SAME page (smaller y) whose x is within
     ``x_tol_milli`` of the keyword's — get_text_below on real
     coordinates; nearest by (dy, |dx|, span_id)."""
     kw = spans.filter(F.col("text").contains(keyword)).select(
         "url",
+        "page",
         F.col("span_id").alias("kw_id"),
         F.col("text").alias("keyword_text"),
         F.col("x_milli").alias("kx"),
         F.col("y_milli").alias("ky"),
     )
     cand = spans.select(
-        "url", "span_id", F.col("text").alias("value"), "x_milli", "y_milli"
+        "url", "page", "span_id", F.col("text").alias("value"),
+        "x_milli", "y_milli",
     )
-    j = kw.join(cand, "url").filter(
+    j = kw.join(cand, ["url", "page"]).filter(
         (F.col("span_id") != F.col("kw_id"))
         & (F.col("y_milli") < F.col("ky"))
         & (F.abs(F.col("x_milli") - F.col("kx")) <= x_tol_milli)

@@ -36,7 +36,10 @@ _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
 # ops is ~3000 lines, far beyond any fixture or sane invoice)
 MAX_INFLATED_BYTES = 1 << 22  # 4 MiB
 _TEXTOBJ_RE = re.compile(rb"BT(.*?)ET", re.S)
-_NUM = rb"-?\d+(?:\.\d+)?"
+# PDF real syntax (PDF 32000-1 §7.3.3): optional sign, '34', '4.5',
+# '.5' and '12.' are all legal — a digits-only pattern misparsed '.5'
+# as '5' (10x position error) and skipped '12.' ops entirely
+_NUM = rb"[+-]?(?:\d+\.?\d*|\.\d+)"
 # one operator token at a time inside a text object, WITH operands for
 # the positioning ops (r06 layout upgrade: Td/TD translations, TL
 # leading, Tm text matrix, Tf font size are tracked so every shown
@@ -46,7 +49,7 @@ _OP_RE = re.compile(
     rb"|\[(?:[^\]\\]|\\.)*?\]\s*TJ"                             # [..] TJ
     rb"|(?P<tdx>" + _NUM + rb")\s+(?P<tdy>" + _NUM + rb")\s+(?P<tdop>Td|TD)"
     rb"|(?P<tl>" + _NUM + rb")\s+TL"
-    rb"|/\w+\s+(?P<tf>" + _NUM + rb")\s+Tf"
+    rb"|/[^\s/<>\[\]()]+\s+(?P<tf>" + _NUM + rb")\s+Tf"
     rb"|(?P<tm>(?:" + _NUM + rb"\s+){6})Tm"
     rb"|T\*",
     re.S,
@@ -117,18 +120,23 @@ def pdf_spans(raw: bytes) -> List[Dict]:
     advances need font metrics and are out of scope, so consecutive
     shows on one line concatenate at the line origin).
 
-    State per text object (PDF 32000-1 §9.4.2): BT resets the matrix to
-    identity; ``a b c d e f Tm`` sets the line origin to (e, f);
-    ``tx ty Td`` translates it; ``tx ty TD`` also sets leading = -ty;
-    ``v TL`` sets leading; ``T*`` moves (0, -leading); ``/F s Tf``
-    tracks the font size.  Never raises; garbage yields [].
+    State per text object (PDF 32000-1 §9.4): BT resets the TEXT MATRIX
+    to identity, but Tf size and TL leading are graphics-state text
+    parameters that PERSIST across BT/ET within a content stream (and
+    across a page's concatenated streams — here one stream ~ one page,
+    so they reset per stream); ``a b c d e f Tm`` sets the line origin
+    to (e, f); ``tx ty Td`` translates it; ``tx ty TD`` also sets
+    leading = -ty; ``v TL`` sets leading; ``T*`` moves (0, -leading);
+    ``/F s Tf`` tracks the font size.  Each span carries its stream's
+    index as ``page`` — reading order is only defined WITHIN a page.
+    Never raises; garbage yields [].
     """
     spans: List[Dict] = []
-    for stream in _stream_bodies(raw):
+    for page_no, stream in enumerate(_stream_bodies(raw)):
+        leading = 0
+        size = 12_000
         for textobj in _TEXTOBJ_RE.finditer(stream):
             x = y = 0
-            leading = 0
-            size = 12_000
             cur: List[bytes] = []
             cur_xy = (0, 0)
             cur_size = size
@@ -142,6 +150,7 @@ def pdf_spans(raw: bytes) -> List[Dict]:
                         spans.append(
                             {
                                 "text": text,
+                                "page": page_no,
                                 "x_milli": cur_xy[0],
                                 "y_milli": cur_xy[1],
                                 "size_milli": cur_size,
@@ -186,19 +195,23 @@ def pdf_spans(raw: bytes) -> List[Dict]:
 
 def tokenize_pdf(raw: bytes) -> List[Dict]:
     """PDF bytes -> node dicts with the same fields as tokenize_html,
-    in READING order: spans sorted by (y descending, x ascending, stream
-    sequence) — PDF y grows up-page, and content streams are free to
-    emit text out of visual order (footers first, columns interleaved),
-    so stream order is NOT reading order.  For monotonically-descending
-    single-column documents (every fixture) this equals stream order,
-    which keeps the e2e byte-identity contract unchanged.
+    in READING order: spans sorted by (page, y descending, x ascending,
+    stream sequence) — PDF y grows up-page, and content streams are
+    free to emit text out of visual order (footers first, columns
+    interleaved), so stream order is NOT reading order WITHIN a page;
+    across pages, stream order IS document order (page is the major
+    key, else two pages sharing a y range would interleave).  For
+    monotonically-descending single-column documents (every fixture)
+    this equals stream order, which keeps the e2e byte-identity
+    contract unchanged.
 
     Each span becomes one node with tag_class='p'; link stats are
     always 0 (PDF has no anchors here).
     """
     nodes: List[Dict] = []
     ordered = sorted(
-        pdf_spans(raw), key=lambda s: (-s["y_milli"], s["x_milli"], s["seq"])
+        pdf_spans(raw),
+        key=lambda s: (s["page"], -s["y_milli"], s["x_milli"], s["seq"]),
     )
     for span in ordered:
         text = span["text"]

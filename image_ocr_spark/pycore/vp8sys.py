@@ -69,6 +69,8 @@ def _lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_float,
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ]
+            lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+            lib.WebPEncodeRGBA.argtypes = lib.WebPEncodeRGB.argtypes
             lib.WebPFree.restype = None
             lib.WebPFree.argtypes = [ctypes.c_void_p]
         except AttributeError:
@@ -132,6 +134,30 @@ def encode_lossy_rgb(
     out = ctypes.POINTER(ctypes.c_uint8)()
     size = lib.WebPEncodeRGB(
         pixels, width, height, width * 3, ctypes.c_float(quality),
+        ctypes.byref(out),
+    )
+    if not size or not out:
+        raise ValueError("libwebp failed to encode")
+    try:
+        return ctypes.string_at(out, size)
+    finally:
+        lib.WebPFree(ctypes.cast(out, ctypes.c_void_p))
+
+
+def encode_lossy_rgba(
+    width: int, height: int, pixels: bytes, quality: float = 90.0
+) -> bytes:
+    """Lossy .webp bytes from RGBA pixels — libwebp emits a VP8X
+    extended container with an ALPH chunk, the fixture for the VP8X
+    decode route."""
+    lib = _lib()
+    if lib is None:
+        raise ValueError("lossy WebP (VP8X) encode needs system libwebp")
+    if len(pixels) != width * height * 4:
+        raise ValueError("pixel buffer does not match width*height*4")
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    size = lib.WebPEncodeRGBA(
+        pixels, width, height, width * 4, ctypes.c_float(quality),
         ctypes.byref(out),
     )
     if not size or not out:

@@ -90,11 +90,11 @@ def test_segmented_build_equals_row_collect_build(spark, documents):
     m).  bloom_position_rows stays the DuckDB oracle twin."""
     import numpy as np
 
+    from image_ocr_spark.operators.bloom import pack_position_rows
+
     old, _ = _snapshots(spark, documents)
     rows = bloom_position_rows(old, "text", M_BITS, K).collect()
-    want = np.zeros(M_BITS // 8, dtype=np.uint8)
-    pos = np.fromiter((r.pos for r in rows), dtype=np.int64, count=len(rows))
-    np.bitwise_or.at(want, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    want = pack_position_rows(rows, M_BITS)
     for seg_bits in (M_BITS, 1 << 13, 24_000):  # 1 seg / 8 segs / short tail
         got = bloom_build(old, "text", M_BITS, K, seg_bits=seg_bits)
         assert np.array_equal(got, want), seg_bits

@@ -133,11 +133,15 @@ def test_schedule_frontier_matches_duckdb(spark):
         rows,
         "host string, url string, priority_milli long, crawl_delay_milli long",
     )
+    sched = schedule_frontier(f, round_start_epoch_milli=1_000_000, max_per_host=3)
+    # the literal cap must become a bounded per-host top-k — Partial
+    # (map-side, pre-shuffle) AND Final WindowGroupLimit in the plan, so
+    # a mega-host never sorts its full partition
+    plan = sched._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
     got = sorted(
         (r.host, r.url, r.fetch_seq, r.fetch_epoch_milli)
-        for r in schedule_frontier(
-            f, round_start_epoch_milli=1_000_000, max_per_host=3
-        ).collect()
+        for r in sched.collect()
     )
     con = duckdb.connect()
     con.execute(

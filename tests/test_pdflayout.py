@@ -46,7 +46,7 @@ ET"""
 def test_positions_and_state_machine():
     sp = {s["text"]: s for s in pdf_spans(_raw_pdf(_INVOICE_CONTENT))}
     assert sp["INVOICE"] == {
-        "text": "INVOICE", "x_milli": 72000, "y_milli": 700000,
+        "text": "INVOICE", "page": 0, "x_milli": 72000, "y_milli": 700000,
         "size_milli": 14000, "seq": 0,
     }
     assert (sp["Date:"]["x_milli"], sp["Date:"]["y_milli"]) == (72000, 680000)
@@ -91,6 +91,52 @@ ET"""
     assert sp == {"a": 500000, "b": 488000, "c": 476000}
 
 
+def test_multipage_streams_do_not_interleave():
+    """Review r06 finding: two content streams (two pages) sharing a y
+    range must NOT merge under the reading-order sort — page is the
+    major key, stream order IS document order across pages."""
+    page = b"BT 1 0 0 1 72 700 Tm (%s top) Tj 0 -600 Td (%s bottom) Tj ET"
+    raw = (
+        b"%PDF-1.4\n"
+        b"<< /Length 0 >>\nstream\n" + page % (b"p1", b"p1") + b"\nendstream\n"
+        b"<< /Length 0 >>\nstream\n" + page % (b"p2", b"p2") + b"\nendstream\n"
+    )
+    texts = [n["text"] for n in tokenize_pdf(raw)]
+    assert texts == ["p1 top", "p1 bottom", "p2 top", "p2 bottom"]
+    pages = {s["text"]: s["page"] for s in pdf_spans(raw)}
+    assert pages == {"p1 top": 0, "p1 bottom": 0, "p2 top": 1, "p2 bottom": 1}
+
+
+def test_fractional_and_signed_reals():
+    """Review r06 finding: PDF reals '.5', '12.', '+3' are legal operand
+    spellings — the old digits-only pattern misparsed '.5' as '5' (10x
+    position error) and dropped '12.' ops entirely."""
+    content = (
+        b"BT 1 0 0 1 10.5 500 Tm (a) Tj .5 -12. Td (b) Tj "
+        b"+2 -.5 Td (c) Tj ET"
+    )
+    sp = {s["text"]: (s["x_milli"], s["y_milli"])
+          for s in pdf_spans(_raw_pdf(content))}
+    assert sp == {
+        "a": (10500, 500000),
+        "b": (11000, 488000),   # +0.5 / -12.0
+        "c": (13000, 487500),   # +2 / -0.5
+    }
+
+
+def test_text_state_persists_across_bt():
+    """Review r06 finding: Tf size and TL leading are graphics-state text
+    parameters — they survive ET/BT within a stream (PDF 32000-1 §9.4.1);
+    only the text matrix resets."""
+    content = (
+        b"BT /F1.2 9 Tf 14 TL 1 0 0 1 10 500 Tm (a) Tj ET "
+        b"BT 1 0 0 1 10 400 Tm (b) Tj T* (c) Tj ET"
+    )
+    sp = {s["text"]: s for s in pdf_spans(_raw_pdf(content))}
+    assert sp["b"]["size_milli"] == 9000       # Tf persisted (dotted name too)
+    assert sp["c"]["y_milli"] == 386000        # TL=14 persisted across BT
+
+
 def test_fixture_writer_regression():
     """make_pdf output (monotonic Td descent) tokenizes to the same node
     stream as before the layout upgrade — the e2e byte-identity
@@ -129,7 +175,7 @@ def span_rows(spark):
 def test_spark_spans_match_pycore(spark, span_rows):
     pages, df = span_rows
     got = sorted(
-        (r.url, r.span_id, r.text, r.x_milli, r.y_milli, r.size_milli)
+        (r.url, r.span_id, r.page, r.text, r.x_milli, r.y_milli, r.size_milli)
         for r in df.collect()
     )
     want = []
@@ -139,8 +185,8 @@ def test_spark_spans_match_pycore(spark, span_rows):
             continue
         for sp in pdf_spans(raw):
             want.append(
-                (r.url, sp["seq"], sp["text"], sp["x_milli"], sp["y_milli"],
-                 sp["size_milli"])
+                (r.url, sp["seq"], sp["page"], sp["text"], sp["x_milli"],
+                 sp["y_milli"], sp["size_milli"])
             )
     assert got == sorted(want) and len(got) > 0
 

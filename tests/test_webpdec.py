@@ -302,3 +302,40 @@ def test_lossy_vp8_rows_through_spark_operator(spark):
     assert (rows[0].width, rows[0].height) == (w, h)
     for a, b in zip(rows[0].mean_micro, rows[1].mean_micro):
         assert abs(a - b) < 12_000_000
+
+
+@pytest.mark.skipif(not _HAVE_LIBWEBP, reason="system libwebp absent")
+def test_vp8x_alpha_decodes_rgba():
+    """VP8X extended containers (lossy + ALPH chunk from libwebp's RGBA
+    encoder) route to decode_rgba — alpha survives with ch=4."""
+    from image_ocr_spark.operators.multimodal import media_pixel_stats
+
+    w, h = 12, 9
+    px = bytes(
+        v for i in range(w * h)
+        for v in ((i * 7) % 256, (i * 13) % 256, (i * 29) % 256,
+                  255 if i % 2 else 128)
+    )
+    blob = _VP8SYS.encode_lossy_rgba(w, h, px, quality=95.0)
+    assert blob[12:16] == b"VP8X"
+    gw, gh, gch, mean_micro, _ = media_pixel_stats(blob)
+    assert (gw, gh, gch) == (w, h, 4)
+    # alpha is lossless in WebP: its mean must be exact
+    want_alpha = sum(px[4 * i + 3] for i in range(w * h)) * 1_000_000 // (w * h)
+    assert mean_micro[3] == want_alpha
+
+
+def test_vp8l_internal_errors_stay_raised():
+    """Review r06 finding: only CONTAINER-level boundaries (VP8 /VP8X
+    chunks) route to the system codec.  A VP8L-internal error (transform
+    bit set) must keep raising even with libwebp present — otherwise the
+    from-scratch format's channel counts would depend on the machine."""
+    from image_ocr_spark.operators.multimodal import media_pixel_stats
+
+    bw = _BitWriter()
+    _literal_header(bw, 1, 1)
+    bw.write(1, 1)  # transform present -> from-scratch boundary
+    bw.write(2, 2)
+    blob = _container(bw.flush())
+    with pytest.raises(ValueError, match="transform"):
+        media_pixel_stats(blob)
