@@ -277,3 +277,57 @@ def span_below_geo(
             ),
         ).alias("value")
     ).drop("kw_id")
+
+
+PDF_TABLE_SCHEMA = (
+    "url string, page int, row int, col int, x_milli long, y_milli long,"
+    " text string"
+)
+
+_PDF_TABLE_ARROW = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("page", pa.int32()),
+        pa.field("row", pa.int32()),
+        pa.field("col", pa.int32()),
+        pa.field("x_milli", pa.int64()),
+        pa.field("y_milli", pa.int64()),
+        pa.field("text", pa.string()),
+    ]
+)
+
+
+def pdf_table_cells(
+    pages: DataFrame,
+    url_col: str = "url",
+    pdf_col: str = "html",
+    y_tol_milli: int = 3000,
+    min_rows: int = 3,
+) -> DataFrame:
+    """(url, page, row, col, x_milli, y_milli, text) — column-aligned
+    table cells per PDF payload (pycore.pdftok.detect_tables, the
+    PP-Structure analog).  Same scan-stage Arrow shape as
+    pdf_layout_spans; non-PDF / table-free payloads yield no rows."""
+    from ..pycore.pdftok import detect_tables, is_pdf, pdf_spans
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            raws = batch.column(1).to_pylist()
+            cols = {name: [] for name in _PDF_TABLE_ARROW.names}
+            for url, raw in zip(urls, raws):
+                raw = raw or b""
+                if not is_pdf(raw):
+                    continue
+                for c in detect_tables(pdf_spans(raw), y_tol_milli, min_rows):
+                    cols["url"].append(url)
+                    for k in ("page", "row", "col", "x_milli", "y_milli", "text"):
+                        cols[k].append(c[k])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _PDF_TABLE_ARROW],
+                schema=_PDF_TABLE_ARROW,
+            )
+
+    return pages.select(
+        F.col(url_col).alias("url"), F.col(pdf_col).alias("html")
+    ).mapInArrow(run, PDF_TABLE_SCHEMA)

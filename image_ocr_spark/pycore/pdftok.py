@@ -281,3 +281,70 @@ def make_pdf(lines: List[str], compress: bool = True) -> bytes:
         % (len(objs) + 1, xref_at)
     )
     return bytes(out)
+
+
+def detect_tables(
+    spans: List[Dict], y_tol_milli: int = 3000, min_rows: int = 3
+) -> List[Dict]:
+    """Column-aligned table detection over positioned spans — the
+    layout-analysis analog of the reference's PP-Structure table branch
+    (`engines/paddle_structure_engine.py:118-329`), on exact PDF
+    coordinates instead of learned region proposals.
+
+    Deterministic integer geometry, per page:
+    1. spans group into VISUAL ROWS (y within ``y_tol_milli`` of the
+       row's first span, descending-y scan);
+    2. an x value shared by >= ``min_rows`` distinct rows is a COLUMN
+       ANCHOR (machine-generated tables place every cell of a column at
+       the same Td x; prose never repeats an indent that regularly at
+       2+ anchors);
+    3. a row with >= 2 anchor-aligned spans is a TABLE ROW; its
+       anchor-aligned spans become cells ``{"page", "row", "col",
+       "x_milli", "y_milli", "text"}`` with row numbered top-down per
+       page and col = the anchor's rank by x.
+    Spans off the anchors (prose, headers spanning columns) are simply
+    not cells.  Never raises; non-tabular input yields [].
+    """
+    from collections import defaultdict
+
+    out: List[Dict] = []
+    by_page: Dict[int, List[Dict]] = defaultdict(list)
+    for s in spans:
+        by_page[s["page"]].append(s)
+    for page in sorted(by_page):
+        ss = sorted(
+            by_page[page],
+            key=lambda s: (-s["y_milli"], s["x_milli"], s["seq"]),
+        )
+        rows: List[List] = []  # [row_y, [spans]]
+        for s in ss:
+            if rows and abs(rows[-1][0] - s["y_milli"]) <= y_tol_milli:
+                rows[-1][1].append(s)
+            else:
+                rows.append([s["y_milli"], [s]])
+        x_rows: Dict[int, set] = defaultdict(set)
+        for ri, (_, group) in enumerate(rows):
+            for s in group:
+                x_rows[s["x_milli"]].add(ri)
+        anchors = sorted(x for x, rs in x_rows.items() if len(rs) >= min_rows)
+        if len(anchors) < 2:
+            continue
+        col = {x: i for i, x in enumerate(anchors)}
+        row_no = 0
+        for _, group in rows:
+            cells = [s for s in group if s["x_milli"] in col]
+            if len(cells) < 2:
+                continue
+            for s in cells:
+                out.append(
+                    {
+                        "page": page,
+                        "row": row_no,
+                        "col": col[s["x_milli"]],
+                        "x_milli": s["x_milli"],
+                        "y_milli": s["y_milli"],
+                        "text": s["text"],
+                    }
+                )
+            row_no += 1
+    return out

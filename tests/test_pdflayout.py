@@ -272,3 +272,71 @@ def test_fuzz_never_raises_and_parses_bounded():
             raw[rnd.randrange(len(raw))] = rnd.randrange(256)
         spans = pdf_spans(bytes(raw))
         assert isinstance(spans, list) and len(spans) <= 40
+
+
+_TABLE_CONTENT = (
+    b"BT 1 0 0 1 72 700 Tm (Order Summary) Tj "          # full-width header: not a cell
+    b"1 0 0 1 72 680 Tm (item) Tj 200 0 Td (qty) Tj 100 0 Td (price) Tj "
+    b"1 0 0 1 72 660 Tm (apple) Tj 200 0 Td (2) Tj 100 0 Td (220) Tj "
+    b"1 0 0 1 72 640 Tm (milk) Tj 200 0 Td (1) Tj 100 0 Td (160) Tj "
+    b"1 0 0 1 72 620 Tm (bread) Tj 300 0 Td (110) Tj "   # sparse row: qty missing
+    b"1 0 0 1 90 600 Tm (thank you for shopping) Tj "    # prose at a one-off x
+    b"ET"
+)
+
+
+def test_detect_tables_columns_rows_and_sparsity():
+    from image_ocr_spark.pycore.pdftok import detect_tables
+
+    cells = detect_tables(pdf_spans(_raw_pdf(_TABLE_CONTENT)))
+    grid = {(c["row"], c["col"]): c["text"] for c in cells}
+    assert grid == {
+        (0, 0): "item", (0, 1): "qty", (0, 2): "price",
+        (1, 0): "apple", (1, 1): "2", (1, 2): "220",
+        (2, 0): "milk", (2, 1): "1", (2, 2): "160",
+        (3, 0): "bread", (3, 2): "110",   # sparse row keeps its col ids
+    }
+    # anchors are x-ranked: col 0 at 72pt, col 1 at 272pt, col 2 at 372pt
+    by_col = {c["col"]: c["x_milli"] for c in cells}
+    assert by_col == {0: 72000, 1: 272000, 2: 372000}
+    # the full-width header and the prose line are NOT cells
+    assert all(c["text"] not in ("Order Summary", "thank you for shopping")
+               for c in cells)
+
+
+def test_detect_tables_rejects_prose():
+    from image_ocr_spark.pycore.pdftok import detect_tables
+
+    prose = (
+        b"BT 1 0 0 1 72 700 Tm (one line) Tj 0 -20 Td (another line) Tj "
+        b"0 -20 Td (third line) Tj ET"
+    )
+    # a single repeated x is one anchor — not a table (needs >= 2)
+    assert detect_tables(pdf_spans(_raw_pdf(prose))) == []
+    assert detect_tables([]) == []
+
+
+def test_spark_table_cells_match_pycore(spark):
+    from image_ocr_spark.operators.spans import pdf_table_cells
+    from image_ocr_spark.pycore.pdftok import detect_tables
+
+    pages = spark.createDataFrame(
+        [
+            ("http://t.example/table", _raw_pdf(_TABLE_CONTENT)),
+            ("http://t.example/prose", make_pdf(["just", "text"])),
+            ("http://t.example/nope", b"<html></html>"),
+        ],
+        "url string, html binary",
+    )
+    df = pdf_table_cells(pages)
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+    got = sorted(
+        (r.url, r.page, r.row, r.col, r.x_milli, r.y_milli, r.text)
+        for r in df.collect()
+    )
+    want = sorted(
+        ("http://t.example/table", c["page"], c["row"], c["col"],
+         c["x_milli"], c["y_milli"], c["text"])
+        for c in detect_tables(pdf_spans(_raw_pdf(_TABLE_CONTENT)))
+    )
+    assert got == want and len(got) == 11
