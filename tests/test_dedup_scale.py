@@ -480,3 +480,80 @@ def test_no_cached_relation_leaks_after_module(spark):
         f"{leftover} persisted RDDs remain after cache release — "
         "an operator is leaking storage"
     )
+
+
+def test_chunk_documents_matches_duckdb(spark, documents):
+    """Sliding-window chunking (r06): stride grid + right-aligned tail,
+    replayed by DuckDB by value; coverage and overlap invariants hold on
+    the fixture corpus."""
+    import duckdb
+
+    from image_ocr_spark.operators.sampling import chunk_documents
+    from tests.conftest import SF_DIR
+
+    W, S = 24, 16
+    out = chunk_documents(
+        documents.select("doc_id", "text"), window=W, stride=S
+    )
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.start_token, r.n_chunk_tokens, r.chunk_text)
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH d AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                CASE WHEN len(toks) <= {W} THEN [0]
+                     WHEN (len(toks) - {W}) % {S} = 0
+                       THEN range(0, len(toks) - {W} + 1, {S})
+                     ELSE list_append(range(0, len(toks) - {W} + 1, {S}),
+                                      len(toks) - {W})
+                END AS starts
+              FROM d
+            )
+            , e AS (
+              SELECT doc_id, toks, n,
+                     unnest(starts) AS st,
+                     generate_subscripts(starts, 1) AS i
+              FROM s
+            )
+            SELECT doc_id, (i - 1)::BIGINT AS chunk_id,
+                   st::BIGINT AS start_token,
+                   least({W}, n - st)::BIGINT AS n_chunk_tokens,
+                   array_to_string(toks[st + 1 : st + {W}], ' ') AS chunk_text
+            FROM e
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > len(set(g[0] for g in got))
+    # invariants: chunk 0 starts at 0; consecutive starts differ by the
+    # stride except the final right-aligned tail; full coverage
+    import collections
+
+    per_doc = collections.defaultdict(list)
+    for doc_id, cid, start, n_tok, _ in got:
+        per_doc[doc_id].append((cid, start, n_tok))
+    for doc_id, chunks in per_doc.items():
+        chunks.sort()
+        starts = [s for _, s, _ in chunks]
+        ends = [s + t for _, s, t in chunks]
+        assert starts[0] == 0
+        assert max(ends) == ends[-1]  # the last chunk reaches the doc end
+        # interior starts sit on the stride grid; only the final chunk
+        # may be right-aligned off-grid
+        for a, b in zip(starts, starts[1:-1]):
+            assert b - a == S
+        if len(starts) > 1:
+            assert 0 < starts[-1] - starts[-2] <= S
