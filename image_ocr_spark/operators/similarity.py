@@ -1242,3 +1242,127 @@ def ivf_recall_at_k(
         .cast("long")
         .alias("recall_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (r06) — the ANN memory/bandwidth lever.
+# At 10^11 vectors x 768 dims, float32 embeddings are ~300 TB; one byte
+# per dimension cuts the scan/broadcast/shuffle volume 4x with a recall
+# cost the gate below MEASURES instead of assumes (the ivf_recall
+# discipline).  Quantization is per-dimension affine (min/max over the
+# corpus — a dim-sized control-plane table, like centroids), storage is
+# a real packed BINARY column (one byte per dim), and scoring
+# dequantizes inside the Arrow batch — floats never cross an engine
+# boundary unscored.
+# ---------------------------------------------------------------------------
+
+
+def embedding_quant_params(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> list:
+    """[(dim, lo, hi)] per dimension — ONE posexplode + map-combined agg
+    (output bounded by dim rows, the control-plane contract)."""
+    rows = (
+        emb.select(F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    return sorted((r.dim, float(r.lo), float(r.hi)) for r in rows)
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    params: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, qvec BINARY) — one byte per dimension:
+    q_d = clip(floor((v - lo_d) * 255 / (hi_d - lo_d)), 0, 255), with
+    degenerate dims (hi == lo) pinned to 0.  One Arrow pass; the packed
+    binary column is the 4x-smaller thing that scans/broadcasts at
+    10^11-vector scale."""
+    import numpy as np
+    import pyarrow as pa
+
+    lo = np.array([p[1] for p in params])
+    span = np.array([max(p[2] - p[1], 0.0) for p in params])
+    scale = np.where(span > 0, 255.0 / np.where(span > 0, span, 1.0), 0.0)
+
+    def fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            _, V = _flat_f64(batch.column(1), n)
+            q = np.clip(np.floor((V - lo) * scale), 0, 255).astype(np.uint8)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array([row.tobytes() for row in q], pa.binary())],
+                ["vec_id", "qvec"],
+            )
+
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).mapInArrow(fn, "vec_id long, qvec binary")
+
+
+def brute_force_topk_quantized(
+    qvecs: DataFrame,
+    query_qvecs: DataFrame,
+    params: list,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank) — exact cosine top-k over the
+    DEQUANTIZED int8 vectors (v^ = lo + q * span/255): same join/window
+    shape as brute_force_topk, but the corpus side streams 1-byte-per-dim
+    rows.  Recall vs the float path is a measured gate
+    (tests/test_similarity.py), not an assumption."""
+    import numpy as np
+    import pyarrow as pa
+
+    lo = np.array([p[1] for p in params])
+    step = np.array([max(p[2] - p[1], 0.0) / 255.0 for p in params])
+
+    q = query_qvecs.select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qq")
+    )
+    c = qvecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cq")
+    )
+    joined = F.broadcast(q).crossJoin(c).select(
+        "query_id", "neighbor_id", "qq", "cq"
+    )
+
+    def fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            qid, nid = batch.column(0), batch.column(1)
+            A = np.frombuffer(
+                b"".join(batch.column(2).to_pylist()), dtype=np.uint8
+            ).reshape(n, -1).astype(np.float64) * step + lo
+            B = np.frombuffer(
+                b"".join(batch.column(3).to_pylist()), dtype=np.uint8
+            ).reshape(n, -1).astype(np.float64) * step + lo
+            dot = np.einsum("ij,ij->i", A, B)
+            n2 = np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
+            ok = n2 > 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(ok, dot / np.sqrt(n2), 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [qid, nid, pa.array(sim, pa.float64(), mask=~ok)],
+                ["query_id", "neighbor_id", "sim"],
+            )
+
+    sim = joined.mapInArrow(fn, "query_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sim.filter(F.col("sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
