@@ -33,6 +33,14 @@ PAIR_QUERIES = [
     "label_spans",
     "corpus_select",
     "decontaminate",
+    # r06 rotation family at 10x (5k docs): frontier + layout + curation
+    "robots_gate",
+    "sitemap_entries",
+    "canonical_groups",
+    "script_histogram",
+    "dsir_weights",
+    "frontier_select",
+    "pdf_span_geometry",
 ]
 
 
