@@ -113,6 +113,22 @@ def _pair_sim_arrow(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _rank_topk(sim: DataFrame, k: int) -> DataFrame:
+    """Shared (query_id, neighbor_id, rank) tail: NULL sims excluded,
+    deterministic (sim desc, neighbor_id asc) tiebreak, rank <= k.  Both
+    the float and the int8-quantized brute-force paths use THIS function
+    so tiebreak/null policy cannot diverge between them."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sim.filter(F.col("sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -143,15 +159,7 @@ def brute_force_topk(
             "neighbor_id",
             cosine_sim(F.col("qv"), F.col("cv")).alias("sim"),
         )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    return (
-        sim.filter(F.col("sim").isNotNull())
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _rank_topk(sim, k)
 
 
 Centroids = "list[tuple[int, list[float]]]"  # (centroid_id, vector), id-sorted
@@ -1297,14 +1305,48 @@ def quantize_embeddings(
             ids = batch.column(0)
             _, V = _flat_f64(batch.column(1), n)
             q = np.clip(np.floor((V - lo) * scale), 0, 255).astype(np.uint8)
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array([row.tobytes() for row in q], pa.binary())],
-                ["vec_id", "qvec"],
+            d = q.shape[1]
+            # binary array straight from the contiguous buffer (uniform
+            # offsets) — zero per-row Python on the scan-stage hot path
+            offsets = np.arange(0, (n + 1) * d, d, dtype=np.int32)
+            qvec = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offsets.tobytes()),
+                 pa.py_buffer(np.ascontiguousarray(q).tobytes())],
             )
+            yield pa.RecordBatch.from_arrays([ids, qvec], ["vec_id", "qvec"])
 
     return emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     ).mapInArrow(fn, "vec_id long, qvec binary")
+
+
+def _flat_u8(col, n: int, expect_dim: int):
+    """(dim, (n, dim) uint8 view) from an Arrow binary column of packed
+    qvecs — the binary analog of _flat_f64: zero-copy via the offsets +
+    data child buffers, LOUD on nulls, ragged widths, or a width that
+    disagrees with the quant params (a mixed-params union would otherwise
+    score shifted bytes silently)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if col.null_count:
+        raise ValueError("null qvec row reached the quantized scorer")
+    off_width = 8 if pa.types.is_large_binary(col.type) else 4
+    off_dtype = np.int64 if off_width == 8 else np.int32
+    offsets = np.frombuffer(
+        col.buffers()[1], dtype=off_dtype,
+        count=n + 1, offset=col.offset * off_width,
+    )
+    widths = np.diff(offsets)
+    if n and not (widths == expect_dim).all():
+        raise ValueError(
+            f"qvec widths {sorted(set(widths.tolist()))} != quant dim "
+            f"{expect_dim} — quantized under different params?"
+        )
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    V = data[offsets[0] : offsets[0] + n * expect_dim].reshape(n, expect_dim)
+    return expect_dim, V
 
 
 def brute_force_topk_quantized(
@@ -1314,15 +1356,18 @@ def brute_force_topk_quantized(
     k: int = 10,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank) — exact cosine top-k over the
-    DEQUANTIZED int8 vectors (v^ = lo + q * span/255): same join/window
-    shape as brute_force_topk, but the corpus side streams 1-byte-per-dim
-    rows.  Recall vs the float path is a measured gate
-    (tests/test_similarity.py), not an assumption."""
+    DEQUANTIZED int8 vectors (v^ = lo + q * span/255): same join shape as
+    brute_force_topk and the SAME _rank_topk tail (tiebreak/null policy
+    cannot diverge), but the corpus side streams 1-byte-per-dim rows
+    decoded zero-copy from the Arrow binary buffers.  Recall vs the float
+    path is a measured gate (tests/test_similarity.py), not an
+    assumption."""
     import numpy as np
     import pyarrow as pa
 
     lo = np.array([p[1] for p in params])
     step = np.array([max(p[2] - p[1], 0.0) / 255.0 for p in params])
+    dim = len(params)
 
     q = query_qvecs.select(
         F.col("vec_id").alias("query_id"), F.col("qvec").alias("qq")
@@ -1340,12 +1385,10 @@ def brute_force_topk_quantized(
             if n == 0:
                 continue
             qid, nid = batch.column(0), batch.column(1)
-            A = np.frombuffer(
-                b"".join(batch.column(2).to_pylist()), dtype=np.uint8
-            ).reshape(n, -1).astype(np.float64) * step + lo
-            B = np.frombuffer(
-                b"".join(batch.column(3).to_pylist()), dtype=np.uint8
-            ).reshape(n, -1).astype(np.float64) * step + lo
+            _, QA = _flat_u8(batch.column(2), n, dim)
+            _, QB = _flat_u8(batch.column(3), n, dim)
+            A = QA.astype(np.float64) * step + lo
+            B = QB.astype(np.float64) * step + lo
             dot = np.einsum("ij,ij->i", A, B)
             n2 = np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
             ok = n2 > 0
@@ -1357,12 +1400,4 @@ def brute_force_topk_quantized(
             )
 
     sim = joined.mapInArrow(fn, "query_id long, neighbor_id long, sim double")
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    return (
-        sim.filter(F.col("sim").isNotNull())
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _rank_topk(sim, k)

@@ -298,10 +298,14 @@ def detect_tables(
        ANCHOR (machine-generated tables place every cell of a column at
        the same Td x; prose never repeats an indent that regularly at
        2+ anchors);
-    3. a row with >= 2 anchor-aligned spans is a TABLE ROW; its
+    3. a row aligned on >= 2 DISTINCT anchors is a TABLE ROW (two spans
+       stacked on ONE anchor — a wrapped cell, or prose repeating the
+       left margin — is one column of evidence, not a table row); its
        anchor-aligned spans become cells ``{"page", "row", "col",
        "x_milli", "y_milli", "text"}`` with row numbered top-down per
-       page and col = the anchor's rank by x.
+       page and col = the anchor's rank by x.  Multiple spans on the
+       same (row, col) — a wrapped cell — MERGE in reading order with a
+       space, so (row, col) is a key.
     Spans off the anchors (prose, headers spanning columns) are simply
     not cells.  Never raises; non-tabular input yields [].
     """
@@ -333,18 +337,22 @@ def detect_tables(
         row_no = 0
         for _, group in rows:
             cells = [s for s in group if s["x_milli"] in col]
-            if len(cells) < 2:
+            if len({col[s["x_milli"]] for s in cells}) < 2:
                 continue
-            for s in cells:
-                out.append(
-                    {
+            merged: Dict[int, Dict] = {}
+            for s in cells:  # group is already in (-y, x, seq) order
+                c = col[s["x_milli"]]
+                if c in merged:
+                    merged[c]["text"] += " " + s["text"]
+                else:
+                    merged[c] = {
                         "page": page,
                         "row": row_no,
-                        "col": col[s["x_milli"]],
+                        "col": c,
                         "x_milli": s["x_milli"],
                         "y_milli": s["y_milli"],
                         "text": s["text"],
                     }
-                )
+            out.extend(merged[c] for c in sorted(merged))
             row_no += 1
     return out

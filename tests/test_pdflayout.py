@@ -340,3 +340,36 @@ def test_spark_table_cells_match_pycore(spark):
         for c in detect_tables(pdf_spans(_raw_pdf(_TABLE_CONTENT)))
     )
     assert got == want and len(got) == 11
+
+
+def test_detect_tables_single_anchor_stack_is_not_a_table_row():
+    """Review r06 finding: two spans stacked on ONE anchor x inside one
+    y band (wrapped cell / repeated indent) are one column of evidence —
+    not a table row; and same-(row,col) spans in a REAL table row merge
+    in reading order."""
+    from image_ocr_spark.pycore.pdftok import detect_tables
+
+    # prose: every line at x=72, one band containing two spans at x=72
+    prose = (
+        b"BT 1 0 0 1 72 700 Tm (a) Tj 0 -1 Td (a2) Tj "  # same band, same x
+        b"1 0 0 1 72 660 Tm (b) Tj 1 0 0 1 72 640 Tm (c) Tj ET"
+    )
+    assert detect_tables(pdf_spans(_raw_pdf(prose))) == []
+
+    # real table where one cell wraps: the wrapped text merges into the
+    # (row, col) cell, so (row, col) stays a key
+    table = (
+        b"BT 1 0 0 1 72 700 Tm (h1) Tj 200 0 Td (h2) Tj "
+        b"1 0 0 1 72 680 Tm (long) Tj 0 -1 Td (cell) Tj 200 1 Td (v1) Tj "
+        b"1 0 0 1 72 660 Tm (r2a) Tj 200 0 Td (r2b) Tj ET"
+    )
+    cells = detect_tables(pdf_spans(_raw_pdf(table)))
+    grid = {}
+    for c in cells:
+        assert (c["row"], c["col"]) not in grid  # (row, col) is a key
+        grid[(c["row"], c["col"])] = c["text"]
+    assert grid == {
+        (0, 0): "h1", (0, 1): "h2",
+        (1, 0): "long cell", (1, 1): "v1",
+        (2, 0): "r2a", (2, 1): "r2b",
+    }
