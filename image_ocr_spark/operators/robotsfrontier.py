@@ -349,3 +349,52 @@ def schedule_with_budget(
     return sched.join(F.broadcast(budgets), "host", "left").filter(
         F.col("budget").isNull() | (F.col("fetch_seq") < F.col("budget"))
     ).drop("budget")
+
+
+# sitemaps.org changefreq vocabulary -> recrawl interval, integer millis
+# ('always' = always due; 'never' = excluded; '' / undeclared = caller's
+# default).  The 'month' is the protocol's convention of 30 days.
+CHANGEFREQ_INTERVAL_MILLI = {
+    "always": 0,
+    "hourly": 3_600_000,
+    "daily": 86_400_000,
+    "weekly": 604_800_000,
+    "monthly": 2_592_000_000,
+    "yearly": 31_536_000_000,
+}
+DEFAULT_RECRAWL_INTERVAL_MILLI = CHANGEFREQ_INTERVAL_MILLI["weekly"]
+
+
+def recrawl_due(
+    entries: DataFrame,
+    now_epoch_milli: int,
+    last_fetch_col: str = "last_fetch_epoch_milli",
+    changefreq_col: str = "changefreq",
+    default_interval_milli: int = DEFAULT_RECRAWL_INTERVAL_MILLI,
+) -> DataFrame:
+    """Rows DUE for recrawl at ``now`` — the freshness leg of the frontier
+    lifecycle (discover -> select -> budget -> schedule -> RECRAWL):
+    next_fetch = last_fetch + interval(changefreq), where the interval
+    comes from the sitemap's declared changefreq
+    (CHANGEFREQ_INTERVAL_MILLI), '' / undeclared falls back to
+    ``default_interval_milli``, 'never' rows are excluded, and a NULL
+    last_fetch (never crawled) is always due.  Adds
+    ``next_fetch_epoch_milli`` and ``overdue_milli`` (now - next_fetch,
+    the priority signal: stalest first).  Pure scan-stage CASE
+    arithmetic — integer-exact, DuckDB-replayable, zero shuffle."""
+    freq = F.lower(F.coalesce(F.col(changefreq_col), F.lit("")))
+    interval = F.lit(default_interval_milli).cast("long")
+    for name, ms in CHANGEFREQ_INTERVAL_MILLI.items():
+        interval = F.when(freq == name, F.lit(ms).cast("long")).otherwise(interval)
+    nxt = F.when(
+        F.col(last_fetch_col).isNull(), F.lit(now_epoch_milli).cast("long")
+    ).otherwise(F.col(last_fetch_col) + interval)
+    return (
+        entries.filter(freq != "never")
+        .withColumn("next_fetch_epoch_milli", nxt)
+        .filter(F.col("next_fetch_epoch_milli") <= now_epoch_milli)
+        .withColumn(
+            "overdue_milli",
+            F.lit(now_epoch_milli) - F.col("next_fetch_epoch_milli"),
+        )
+    )

@@ -224,3 +224,70 @@ def test_budget_allocation_and_capped_schedule(spark):
         r.url for r in sched.filter(F.col("host") == "big").collect()
     )
     assert kept == [f"http://big/{i}" for i in range(6)]
+
+
+def test_recrawl_due_matches_duckdb(spark):
+    """Freshness leg (r06): changefreq -> interval, 'never' excluded,
+    never-crawled always due, overdue_milli is the staleness priority —
+    replayed by DuckDB by value."""
+    import duckdb
+
+    from image_ocr_spark.operators.robotsfrontier import recrawl_due
+
+    NOW = 1_700_000_000_000
+    H = 3_600_000
+    rows = [
+        # url, changefreq, last_fetch_epoch_milli
+        ("u/hourly-due", "hourly", NOW - 2 * H),
+        ("u/hourly-fresh", "hourly", NOW - H // 2),
+        ("u/daily-edge", "daily", NOW - 24 * H),      # exactly due (<=)
+        ("u/never", "never", NOW - 10_000 * H),
+        ("u/always", "always", NOW),
+        ("u/blank-default", "", NOW - 100 * H),       # weekly default: fresh
+        ("u/blank-stale", "", NOW - 200 * 24 * H),    # weekly default: due
+        ("u/uncrawled", "daily", None),
+        ("u/caps", "HOURLY", NOW - 2 * H),            # lowercased
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, changefreq string, last_fetch_epoch_milli long"
+    )
+    got = sorted(
+        (r.url, r.next_fetch_epoch_milli, r.overdue_milli)
+        for r in recrawl_due(df, NOW).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e(url VARCHAR, changefreq VARCHAR,"
+        " last_fetch_epoch_milli BIGINT)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH x AS (
+              SELECT url,
+                CASE lower(coalesce(changefreq, ''))
+                  WHEN 'always' THEN 0 WHEN 'hourly' THEN 3600000
+                  WHEN 'daily' THEN 86400000 WHEN 'weekly' THEN 604800000
+                  WHEN 'monthly' THEN 2592000000
+                  WHEN 'yearly' THEN 31536000000
+                  ELSE 604800000 END AS iv,
+                last_fetch_epoch_milli AS lf,
+                lower(coalesce(changefreq, '')) AS f
+              FROM e
+            )
+            SELECT url,
+                   coalesce(lf + iv, {NOW})::BIGINT AS nxt,
+                   ({NOW} - coalesce(lf + iv, {NOW}))::BIGINT AS overdue
+            FROM x WHERE f <> 'never' AND coalesce(lf + iv, {NOW}) <= {NOW}
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    urls = {u for u, _, _ in got}
+    assert urls == {
+        "u/hourly-due", "u/daily-edge", "u/always", "u/blank-stale",
+        "u/uncrawled", "u/caps",
+    }
