@@ -573,3 +573,48 @@ def test_int8_quantized_recall_gate(spark):
         recall = len(got & want) / len(want)
         assert n_q > 0 and recall >= 0.9, (n_q, recall)
         qv.unpersist()
+
+
+def test_ivf_quantized_recall_gate(spark):
+    """IVF pruning x int8 storage (r06): the stored relation is
+    (vid, cell, packed qvec); recall@5 vs the FLOAT brute force stays
+    >= 0.85 on the clustered corpus at C=16/nprobe=2 — pruning error and
+    quantization error compose without collapsing."""
+    from pyspark.sql import functions as F
+
+    from image_ocr_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_quant_params,
+        ivf_topk,
+        ivf_topk_quantized,
+        synth_clustered_embeddings,
+    )
+
+    corpus = synth_clustered_embeddings(
+        spark.range(400).select(F.col("id").alias("vec_id"))
+    ).persist()
+    queries = corpus.filter(F.col("vec_id") % 29 == 0).limit(12)
+    params = embedding_quant_params(corpus)
+
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+    got_q = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_quantized(
+            corpus, queries, params, k=5, num_centroids=16, nprobe=2
+        ).collect()
+    }
+    recall_q = len(got_q & want) / len(want)
+    assert recall_q >= 0.85, recall_q
+    # the float IVF at the same geometry bounds the quantization cost
+    got_f = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            corpus, queries, k=5, num_centroids=16, nprobe=2
+        ).collect()
+    }
+    recall_f = len(got_f & want) / len(want)
+    assert recall_f - recall_q <= 0.1, (recall_f, recall_q)
+    corpus.unpersist()
