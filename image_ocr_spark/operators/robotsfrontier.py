@@ -380,14 +380,17 @@ def recrawl_due(
     ``default_interval_milli``, 'never' rows are excluded, and a NULL
     last_fetch (never crawled) is always due.  Adds
     ``next_fetch_epoch_milli`` and ``overdue_milli`` (now - next_fetch,
-    the priority signal: stalest first).  Pure scan-stage CASE
-    arithmetic — integer-exact, DuckDB-replayable, zero shuffle."""
+    the priority signal: stalest first).  A never-crawled row's
+    next_fetch is the EPOCH (0), so its overdue_milli = now — it sorts
+    AHEAD of every overdue backlog row under the stalest-first rule
+    instead of starving at overdue 0.  Pure scan-stage CASE arithmetic —
+    integer-exact, DuckDB-replayable, zero shuffle."""
     freq = F.lower(F.coalesce(F.col(changefreq_col), F.lit("")))
     interval = F.lit(default_interval_milli).cast("long")
     for name, ms in CHANGEFREQ_INTERVAL_MILLI.items():
         interval = F.when(freq == name, F.lit(ms).cast("long")).otherwise(interval)
     nxt = F.when(
-        F.col(last_fetch_col).isNull(), F.lit(now_epoch_milli).cast("long")
+        F.col(last_fetch_col).isNull(), F.lit(0).cast("long")
     ).otherwise(F.col(last_fetch_col) + interval)
     return (
         entries.filter(freq != "never")

@@ -893,6 +893,43 @@ def kmeans_centroids(
     )
 
 
+def _probe_cells(
+    queries: DataFrame,
+    cents: list,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, qv, pcell): each query's `nprobe` nearest IVF cells —
+    broadcast query x broadcast centroid crossJoin, deterministic
+    (psim desc, centroid_id asc) tiebreak.  The float AND int8-quantized
+    IVF paths share THIS function so they always probe the same cells
+    (the property the recall-bounding comparison test relies on)."""
+    spark = queries.sparkSession
+    cents_df = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "centroid_id long, centv array<double>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("psim"), F.asc("centroid_id")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents_df))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            cosine_sim(F.col("qv"), F.col("centv")).alias("psim"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", F.col("centroid_id").alias("pcell"))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -923,28 +960,7 @@ def ivf_topk(
         else _assign_cells(vecs, cents)
     )
 
-    cents_df = embeddings.sparkSession.createDataFrame(
-        [(cid, cv) for cid, cv in cents], "centroid_id long, centv array<double>"
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("psim"), F.asc("centroid_id")
-    )
-    probes = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cents_df))
-        .select(
-            "query_id",
-            "qv",
-            "centroid_id",
-            cosine_sim(F.col("qv"), F.col("centv")).alias("psim"),
-        )
-        .withColumn("pr", F.row_number().over(probe_w))
-        .filter(F.col("pr") <= nprobe)
-        .select("query_id", "qv", F.col("centroid_id").alias("pcell"))
-    )
+    probes = _probe_cells(queries, cents, nprobe, id_col, vec_col)
     matched = F.broadcast(probes).join(assigned, F.col("pcell") == F.col("cell"))
     if impl == "arrow":
         sim = _pair_sim_arrow(
@@ -1349,6 +1365,48 @@ def _flat_u8(col, n: int, expect_dim: int):
     return expect_dim, V
 
 
+def _dequant_pair_sim_arrow(
+    pairs: DataFrame, params: list, left_is_float: bool
+) -> DataFrame:
+    """(query_id, neighbor_id, sim) over (query_id, neighbor_id, left,
+    right) where `right` is always a packed qvec and `left` is either a
+    float array (left_is_float=True — the IVF query side) or another
+    packed qvec (the symmetric brute-force path).  ONE implementation of
+    the dequantize/einsum/zero-norm-mask policy so the quantized scorers
+    cannot diverge."""
+    import numpy as np
+    import pyarrow as pa
+
+    lo = np.array([p[1] for p in params])
+    step = np.array([max(p[2] - p[1], 0.0) / 255.0 for p in params])
+    dim = len(params)
+
+    def fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            qid, nid = batch.column(0), batch.column(1)
+            if left_is_float:
+                _, A = _flat_f64(batch.column(2), n)
+            else:
+                _, QA = _flat_u8(batch.column(2), n, dim)
+                A = QA.astype(np.float64) * step + lo
+            _, QB = _flat_u8(batch.column(3), n, dim)
+            B = QB.astype(np.float64) * step + lo
+            dot = np.einsum("ij,ij->i", A, B)
+            n2 = np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
+            ok = n2 > 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(ok, dot / np.sqrt(n2), 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [qid, nid, pa.array(sim, pa.float64(), mask=~ok)],
+                ["query_id", "neighbor_id", "sim"],
+            )
+
+    return pairs.mapInArrow(fn, "query_id long, neighbor_id long, sim double")
+
+
 def brute_force_topk_quantized(
     qvecs: DataFrame,
     query_qvecs: DataFrame,
@@ -1362,13 +1420,6 @@ def brute_force_topk_quantized(
     decoded zero-copy from the Arrow binary buffers.  Recall vs the float
     path is a measured gate (tests/test_similarity.py), not an
     assumption."""
-    import numpy as np
-    import pyarrow as pa
-
-    lo = np.array([p[1] for p in params])
-    step = np.array([max(p[2] - p[1], 0.0) / 255.0 for p in params])
-    dim = len(params)
-
     q = query_qvecs.select(
         F.col("vec_id").alias("query_id"), F.col("qvec").alias("qq")
     )
@@ -1378,28 +1429,7 @@ def brute_force_topk_quantized(
     joined = F.broadcast(q).crossJoin(c).select(
         "query_id", "neighbor_id", "qq", "cq"
     )
-
-    def fn(batches):
-        for batch in batches:
-            n = batch.num_rows
-            if n == 0:
-                continue
-            qid, nid = batch.column(0), batch.column(1)
-            _, QA = _flat_u8(batch.column(2), n, dim)
-            _, QB = _flat_u8(batch.column(3), n, dim)
-            A = QA.astype(np.float64) * step + lo
-            B = QB.astype(np.float64) * step + lo
-            dot = np.einsum("ij,ij->i", A, B)
-            n2 = np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
-            ok = n2 > 0
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sim = np.where(ok, dot / np.sqrt(n2), 0.0)
-            yield pa.RecordBatch.from_arrays(
-                [qid, nid, pa.array(sim, pa.float64(), mask=~ok)],
-                ["query_id", "neighbor_id", "sim"],
-            )
-
-    sim = joined.mapInArrow(fn, "query_id long, neighbor_id long, sim double")
+    sim = _dequant_pair_sim_arrow(joined, params, left_is_float=False)
     return _rank_topk(sim, k)
 
 
@@ -1423,13 +1453,6 @@ def ivf_topk_quantized(
     bytes only; scoring dequantizes inside the Arrow batch against the
     float query and feeds the shared _rank_topk tail.  Recall vs the
     float brute force is a measured gate (tests/test_similarity.py)."""
-    import numpy as np
-    import pyarrow as pa
-
-    lo = np.array([p[1] for p in params])
-    step = np.array([max(p[2] - p[1], 0.0) / 255.0 for p in params])
-    dim = len(params)
-
     cents = kmeans_train(embeddings, num_centroids, iters, id_col, vec_col)
     vecs = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
@@ -1442,28 +1465,7 @@ def ivf_topk_quantized(
         assigned.vid == F.col("vec_id"),
     ).select("vid", "cell", "qvec")
 
-    cents_df = embeddings.sparkSession.createDataFrame(
-        [(cid, cv) for cid, cv in cents], "centroid_id long, centv array<double>"
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("psim"), F.asc("centroid_id")
-    )
-    probes = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cents_df))
-        .select(
-            "query_id",
-            "qv",
-            "centroid_id",
-            cosine_sim(F.col("qv"), F.col("centv")).alias("psim"),
-        )
-        .withColumn("pr", F.row_number().over(probe_w))
-        .filter(F.col("pr") <= nprobe)
-        .select("query_id", "qv", F.col("centroid_id").alias("pcell"))
-    )
+    probes = _probe_cells(queries, cents, nprobe, id_col, vec_col)
     matched = (
         F.broadcast(probes)
         .join(stored, F.col("pcell") == F.col("cell"))
@@ -1471,25 +1473,5 @@ def ivf_topk_quantized(
             "query_id", F.col("vid").alias("neighbor_id"), "qv", "qvec"
         )
     )
-
-    def fn(batches):
-        for batch in batches:
-            n = batch.num_rows
-            if n == 0:
-                continue
-            qid, nid = batch.column(0), batch.column(1)
-            _, Q = _flat_f64(batch.column(2), n)
-            _, QB = _flat_u8(batch.column(3), n, dim)
-            B = QB.astype(np.float64) * step + lo
-            dot = np.einsum("ij,ij->i", Q, B)
-            n2 = np.einsum("ij,ij->i", Q, Q) * np.einsum("ij,ij->i", B, B)
-            ok = n2 > 0
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sim = np.where(ok, dot / np.sqrt(n2), 0.0)
-            yield pa.RecordBatch.from_arrays(
-                [qid, nid, pa.array(sim, pa.float64(), mask=~ok)],
-                ["query_id", "neighbor_id", "sim"],
-            )
-
-    sim = matched.mapInArrow(fn, "query_id long, neighbor_id long, sim double")
+    sim = _dequant_pair_sim_arrow(matched, params, left_is_float=True)
     return _rank_topk(sim, k)

@@ -278,9 +278,9 @@ def test_recrawl_due_matches_duckdb(spark):
               FROM e
             )
             SELECT url,
-                   coalesce(lf + iv, {NOW})::BIGINT AS nxt,
-                   ({NOW} - coalesce(lf + iv, {NOW}))::BIGINT AS overdue
-            FROM x WHERE f <> 'never' AND coalesce(lf + iv, {NOW}) <= {NOW}
+                   coalesce(lf + iv, 0)::BIGINT AS nxt,
+                   ({NOW} - coalesce(lf + iv, 0))::BIGINT AS overdue
+            FROM x WHERE f <> 'never' AND coalesce(lf + iv, 0) <= {NOW}
             """
         ).fetchall()
     )
@@ -291,3 +291,9 @@ def test_recrawl_due_matches_duckdb(spark):
         "u/hourly-due", "u/daily-edge", "u/always", "u/blank-stale",
         "u/uncrawled", "u/caps",
     }
+    # never-crawled must outrank every backlog row under stalest-first
+    by_url = {u: o for u, _, o in got}
+    assert by_url["u/uncrawled"] == NOW
+    assert by_url["u/uncrawled"] > max(
+        o for u, o in by_url.items() if u != "u/uncrawled"
+    )
