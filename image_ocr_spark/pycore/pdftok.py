@@ -57,11 +57,23 @@ _OP_RE = re.compile(
 _STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)", re.S)
 
 
+# operand clamp: any |coordinate| beyond 10^12 milli-pt (a page a billion
+# points wide) is hostile input, and an unclamped 400-digit operand
+# floats to inf -> int(round(inf)) raised, breaking never-raise
+_MILLI_CAP = 10**12
+
+
 def _milli(tok: bytes) -> int:
-    """PDF numeric operand -> exact integer milli-units (house rule: no
-    float leaves pycore; 1/1000 pt resolution is far below any layout
-    decision threshold)."""
-    return int(round(float(tok) * 1000))
+    """PDF numeric operand -> exact integer milli-units, clamped to
+    +-10^12 (house rule: no float leaves pycore; 1/1000 pt resolution is
+    far below any layout decision threshold; hostile huge operands clamp
+    instead of overflowing)."""
+    v = float(tok) * 1000
+    if v > _MILLI_CAP:
+        return _MILLI_CAP
+    if v < -_MILLI_CAP:
+        return -_MILLI_CAP
+    return int(round(v))
 
 _ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"(": b"(", b")": b")", b"\\": b"\\"}
 

@@ -150,9 +150,17 @@ def test_fixture_writer_regression():
 
 def test_hostile_input_never_raises():
     for garbage in (b"", b"%PDF-1.4 junk", b"%PDF" + b"(" * 5000,
-                    _raw_pdf(b"BT (unclosed Tj ET"), b"\x00" * 64):
+                    _raw_pdf(b"BT (unclosed Tj ET"), b"\x00" * 64,
+                    # 400-digit operand floats to inf: must clamp, not
+                    # OverflowError (never-raise; found by self-probe r06)
+                    _raw_pdf(b"BT " + b"9" * 400 + b" 5 Td (x) Tj ET"),
+                    _raw_pdf(b"BT -" + b"9" * 400 + b" .5 TL T* (y) Tj ET")):
         assert isinstance(pdf_spans(garbage), list)
         assert isinstance(tokenize_pdf(garbage), list)
+    from image_ocr_spark.pycore.pdftok import _MILLI_CAP
+
+    sp = pdf_spans(_raw_pdf(b"BT " + b"9" * 400 + b" 5 Td (x) Tj ET"))
+    assert sp[0]["x_milli"] == _MILLI_CAP  # clamped, position still usable
 
 
 @pytest.fixture(scope="module")
