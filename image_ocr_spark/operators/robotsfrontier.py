@@ -292,9 +292,16 @@ def schedule_frontier(
         .drop("__rn")
         .withColumn(
             "fetch_epoch_milli",
-            F.lit(round_start_epoch_milli)
-            + F.col("fetch_seq")
-            * F.coalesce(F.col("crawl_delay_milli"), F.lit(0)),
+            # try_*: an uncapped mega-host's tail slot x a huge delay
+            # would raise ARITHMETIC_OVERFLOW under ANSI; a NULL fetch
+            # time marks the absurd slot instead of killing the stage
+            F.try_add(
+                F.lit(round_start_epoch_milli),
+                F.try_multiply(
+                    F.col("fetch_seq"),
+                    F.coalesce(F.col("crawl_delay_milli"), F.lit(0)),
+                ),
+            ),
         )
     )
 
@@ -389,9 +396,13 @@ def recrawl_due(
     interval = F.lit(default_interval_milli).cast("long")
     for name, ms in CHANGEFREQ_INTERVAL_MILLI.items():
         interval = F.when(freq == name, F.lit(ms).cast("long")).otherwise(interval)
+    # try_add: a corrupt last_fetch near int64 max would otherwise raise
+    # ARITHMETIC_OVERFLOW under Spark 4 ANSI and kill the stage; NULL
+    # next_fetch (garbage timestamp) simply fails the <= now filter —
+    # a year-292M fetch time is never due
     nxt = F.when(
         F.col(last_fetch_col).isNull(), F.lit(0).cast("long")
-    ).otherwise(F.col(last_fetch_col) + interval)
+    ).otherwise(F.try_add(F.col(last_fetch_col), interval))
     return (
         entries.filter(freq != "never")
         .withColumn("next_fetch_epoch_milli", nxt)

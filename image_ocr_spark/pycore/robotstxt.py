@@ -196,7 +196,12 @@ def parse_robots_extras(text: str) -> Tuple[List[str], Dict[str, int]]:
                 seconds = float(value)
             except ValueError:
                 continue
+            # NaN fails the >= 0 test; inf / 400-digit values CLAMP to a
+            # day (a delay beyond that means "don't crawl"; unclamped,
+            # int(round(inf*1000)) raised OverflowError out of the
+            # never-raise parser — found by self-probe r06)
             if seconds >= 0:
+                seconds = min(seconds, 86_400.0)
                 for token in current:
                     delays[token] = int(round(seconds * 1000))
     return sitemaps, delays

@@ -73,7 +73,12 @@ def _priority_milli(raw: str) -> int:
         p = float(raw)
     except ValueError:
         return 500
-    return max(0, min(1000, int(round(p * 1000))))
+    if p != p:  # float('nan') parses; int(round(nan)) raises
+        return 500
+    # clamp in FLOAT space first: inf / 400-digit values overflowed
+    # int(round(p * 1000)) before the int-space min/max could apply
+    # (never-raise parser; found by self-probe r06)
+    return int(round(min(max(p, 0.0), 1.0) * 1000))
 
 
 Entry = Tuple[str, str, str, int]  # (loc, lastmod, changefreq, priority_milli)

@@ -297,3 +297,32 @@ def test_recrawl_due_matches_duckdb(spark):
     assert by_url["u/uncrawled"] > max(
         o for u, o in by_url.items() if u != "u/uncrawled"
     )
+
+
+def test_recrawl_and_schedule_survive_hostile_numerics(spark):
+    """Overflow hardening (r06 self-probe): a corrupt last_fetch near
+    int64 max must not raise ARITHMETIC_OVERFLOW under ANSI — the row is
+    simply never due; an absurd slot x delay product yields a NULL fetch
+    time instead of killing the stage."""
+    from image_ocr_spark.operators.robotsfrontier import (
+        recrawl_due,
+        schedule_frontier,
+    )
+
+    NOW = 1_700_000_000_000
+    df = spark.createDataFrame(
+        [("u/corrupt", "daily", (1 << 63) - 10), ("u/sane", "daily", NOW - 2 * 86_400_000)],
+        "url string, changefreq string, last_fetch_epoch_milli long",
+    )
+    got = {r.url for r in recrawl_due(df, NOW).collect()}
+    assert got == {"u/sane"}  # corrupt timestamp dropped, no exception
+
+    f = spark.createDataFrame(
+        [("h", f"http://h/{i}", 100, (1 << 62)) for i in range(4)],
+        "host string, url string, priority_milli long, crawl_delay_milli long",
+    )
+    rows = schedule_frontier(f, round_start_epoch_milli=0).collect()
+    assert len(rows) == 4  # no ARITHMETIC_OVERFLOW
+    by_seq = {r.fetch_seq: r.fetch_epoch_milli for r in rows}
+    assert by_seq[0] == 0 and by_seq[1] == (1 << 62)
+    assert by_seq[2] is None or by_seq[2] == (1 << 63) - 2**62  # 2*2^62 overflows

@@ -329,3 +329,22 @@ def test_parsers_never_raise_on_fuzzed_bytes():
         assert isinstance(parse_robots_extras(txt), tuple)
         assert isinstance(parse_sitemap(txt), dict)
         assert isinstance(canonical_url(raw), str)
+
+
+def test_crawl_delay_hostile_numerics_never_raise():
+    """Overflow hardening (r06 self-probe): 400-digit / inf / 1e400
+    crawl-delays CLAMP to a day instead of raising OverflowError out of
+    the never-raise parser; nan and negatives are ignored."""
+    from image_ocr_spark.pycore.robotstxt import (
+        parse_robots_extras,
+        select_crawl_delay,
+    )
+
+    for val, want in (
+        ("9" * 400, 86_400_000), ("inf", 86_400_000), ("1e400", 86_400_000),
+        ("nan", 0), ("-inf", 0), ("-5", 0), ("2.5", 2500),
+    ):
+        _, d = parse_robots_extras(
+            f"User-agent: a\nCrawl-delay: {val}\nDisallow: /x"
+        )
+        assert select_crawl_delay(d, "a") == want, val[:12]

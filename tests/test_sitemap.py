@@ -75,3 +75,17 @@ def test_spark_explosion_matches_pycore(spark):
         for loc, lastmod in p["sitemaps"]:
             want.append((host, "sitemap", loc, lastmod, "", 0))
     assert sorted(got) == sorted(want) and len(got) == 6
+
+
+def test_priority_hostile_numerics_never_raise():
+    """Overflow hardening (r06 self-probe): inf / -inf / nan / 400-digit
+    priorities clamp or default instead of raising out of the
+    never-raise parser."""
+    for val, want in (
+        ("9" * 400, 1000), ("inf", 1000), ("1e400", 1000),
+        ("-inf", 0), ("nan", 500), ("-3", 0), ("0.8", 800),
+    ):
+        got = parse_sitemap(
+            f"<url><loc>http://h/x</loc><priority>{val}</priority></url>"
+        )
+        assert got["urls"][0][3] == want, val[:12]
