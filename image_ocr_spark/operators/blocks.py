@@ -33,6 +33,24 @@ _TEXT_TAGS = sorted(pyblocks.TEXT_TAGS)
 
 _NODE_FIELDS = ["node_id", "tag_class", "text", "n_chars", "n_link_chars", "n_words"]
 
+# clean_text guard (r07, guide §1.2 "per-task work"): node texts arrive
+# whitespace-COLLAPSED from the tokenizers (" ".join(split()) in
+# scan_html_cols / pdf_spans flush), so the joined text contains no \r,
+# \t, \n (inside nodes), \x0b, \x0c, no space runs, and no
+# leading/trailing whitespace on any line — every clean_text step is
+# provably a no-op UNLESS a non-whitespace control char
+# [\x00-\x08\x0e-\x1f\x7f] survives collapse (str.split() only removes
+# whitespace).  One cheap rlike scan replaces six regexp_replace
+# rewrite passes + btrim for the ~100% of real documents with no
+# control bytes; documents that do contain one take the full chain, so
+# output is byte-identical either way (pinned by test_blocks_parity /
+# e2e byte identity, including control-char fixtures).
+_CTRL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def _clean_collapsed(raw: Column) -> Column:
+    return F.when(raw.rlike(_CTRL_CLASS), clean_text(raw)).otherwise(raw)
+
 
 def _seed_of(x) -> Column:
     """pycore.blocks.is_seed over a node struct (column or lambda var)."""
@@ -113,16 +131,27 @@ def extract_text(nodes: DataFrame) -> DataFrame:
         ),
         "\n",
     )
-    return agg.select(
+    agg = agg.select(
         "url",
         "doc_id",
         "engine",
-        clean_text(raw_text).alias("text"),
+        raw_text.alias("_raw"),
         F.coalesce("_title_t", "_title_h1").alias("title"),
         "n_nodes",
         F.size(F.filter(F.col("content_flags"), lambda c: c)).alias(
             "n_content_nodes"
         ),
+    )
+    # separate projection so _raw is evaluated ONCE under the 3-reference
+    # guard (CollapseProject keeps multi-referenced non-trivial aliases)
+    return agg.select(
+        "url",
+        "doc_id",
+        "engine",
+        _clean_collapsed(F.col("_raw")).alias("text"),
+        "title",
+        "n_nodes",
+        "n_content_nodes",
     )
 
 
@@ -161,11 +190,11 @@ def extract_text_packed(packed: DataFrame) -> DataFrame:
         ),
         0,
     )
-    return df.select(
+    df = df.select(
         "url",
         "doc_id",
         "engine",
-        clean_text(raw_text).alias("text"),
+        raw_text.alias("_raw"),
         F.coalesce(first_of("title"), first_of("h1")).alias("title"),
         F.size(F.filter(F.col("nodes"), lambda n: n["node_id"] >= 0)).alias(
             "n_nodes"
@@ -173,6 +202,17 @@ def extract_text_packed(packed: DataFrame) -> DataFrame:
         F.size(F.filter(F.col("content_flags"), lambda c: c)).alias(
             "n_content_nodes"
         ),
+    )
+    # separate projection so _raw is evaluated ONCE under the 3-reference
+    # guard (CollapseProject keeps multi-referenced non-trivial aliases)
+    return df.select(
+        "url",
+        "doc_id",
+        "engine",
+        _clean_collapsed(F.col("_raw")).alias("text"),
+        "title",
+        "n_nodes",
+        "n_content_nodes",
     )
 
 
@@ -233,7 +273,7 @@ def extract_text_window(nodes: DataFrame) -> DataFrame:
         "url",
         "doc_id",
         "engine",
-        clean_text(F.col("raw_text")).alias("text"),
+        _clean_collapsed(F.col("raw_text")).alias("text"),
         F.coalesce("_title_t", "_title_h1").alias("title"),
         "n_nodes",
         "n_content_nodes",

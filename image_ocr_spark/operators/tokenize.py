@@ -33,7 +33,7 @@ from typing import Iterator
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-from ..pycore.htmltok import tokenize_html
+from ..pycore.htmltok import scan_html_cols, tokenize_html
 from ..pycore.pdftok import is_pdf, tokenize_pdf
 from ..schemas import NODE_SCHEMA
 
@@ -114,6 +114,59 @@ def _run_engine(raw, engine: str):
     return "none", [_SENTINEL]
 
 
+def _pdf_cols(nodes):
+    """tokenize_pdf node dicts -> the flat-column tuple scan_html_cols
+    produces (PDF is ~10% of a crawl mix, so the dict hop is cheap here)."""
+    return (
+        [n["tag_class"] for n in nodes],
+        [n["text"] for n in nodes],
+        [n["n_chars"] for n in nodes],
+        [n["n_link_chars"] for n in nodes],
+        [n["n_words"] for n in nodes],
+    )
+
+
+# sentinel in column form: node_id [-1], matching _SENTINEL exactly
+_SENT_COLS = ([-1], ["empty"], [""], [0], [0], [0])
+
+# cols-producing engine registry, same keys/order as ENGINES
+_ENGINES_COLS = {
+    "html": scan_html_cols,
+    "pdf": lambda raw: _pdf_cols(tokenize_pdf(raw)),
+}
+
+
+def _run_engine_cols(raw, engine: str):
+    """(used_engine, nid, tag, text, n_chars, n_link, n_words) for one page
+    — the flat-column twin of _run_engine (identical strategy/fallback
+    semantics, parity-pinned by tests), feeding the Arrow builders without
+    a per-node dict round-trip.  nid is range(n) except the sentinel's
+    [-1]."""
+    if engine == "auto":
+        if raw is None:
+            return ("html",) + _SENT_COLS
+        try:
+            eng = "pdf" if is_pdf(raw) else "html"
+            cols = _ENGINES_COLS[eng](raw)
+        except Exception:
+            return ("error",) + _SENT_COLS
+        if not cols[0]:
+            return (eng,) + _SENT_COLS
+        return (eng, range(len(cols[0]))) + cols
+    if raw is not None:
+        for eng in [engine] + [e for e in _ENGINES_COLS if e != engine]:
+            fn = _ENGINES_COLS.get(eng)
+            if fn is None:
+                continue
+            try:
+                cols = fn(raw)
+            except Exception:
+                continue
+            if cols[0]:
+                return (eng, range(len(cols[0]))) + cols
+    return ("none",) + _SENT_COLS
+
+
 def _tokenize_arrow(
     batches: Iterator[pa.RecordBatch], engine: str = "auto"
 ) -> Iterator[pa.RecordBatch]:
@@ -138,18 +191,17 @@ def _tokenize_arrow(
         for url, doc_id, raw in zip(urls, doc_ids, htmls):
             # sentinel: empty/broken pages still yield a result row
             # downstream without a reconciliation join
-            used, nodes = _run_engine(raw, engine)
-            n = len(nodes)
+            used, nid, tag, txt, nch, nlk, nwd = _run_engine_cols(raw, engine)
+            n = len(tag)
             c_url.extend([url] * n)
             c_doc.extend([doc_id] * n)
             c_eng.extend([used] * n)
-            for node in nodes:
-                c_nid.append(node["node_id"])
-                c_tag.append(node["tag_class"])
-                c_txt.append(node["text"])
-                c_nch.append(node["n_chars"])
-                c_nlk.append(node["n_link_chars"])
-                c_nwd.append(node["n_words"])
+            c_nid.extend(nid)
+            c_tag.extend(tag)
+            c_txt.extend(txt)
+            c_nch.extend(nch)
+            c_nlk.extend(nlk)
+            c_nwd.extend(nwd)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(c_url, pa.string()),
@@ -238,15 +290,14 @@ def _tokenize_packed(
         f_nlk: list = []
         f_nwd: list = []
         for raw in htmls:
-            used, nodes = _run_engine(raw, engine)
+            used, nid, tag, txt, nch, nlk, nwd = _run_engine_cols(raw, engine)
             engines.append(used)
-            for n in nodes:
-                f_nid.append(n["node_id"])
-                f_tag.append(n["tag_class"])
-                f_txt.append(n["text"])
-                f_nch.append(n["n_chars"])
-                f_nlk.append(n["n_link_chars"])
-                f_nwd.append(n["n_words"])
+            f_nid.extend(nid)
+            f_tag.extend(tag)
+            f_txt.extend(txt)
+            f_nch.extend(nch)
+            f_nlk.extend(nlk)
+            f_nwd.extend(nwd)
             offsets.append(len(f_nid))
         struct = pa.StructArray.from_arrays(
             [

@@ -106,14 +106,22 @@ def _collapse(text: str) -> str:
     return " ".join(text.split())
 
 
-def tokenize_html(raw: bytes) -> List[Dict]:
-    """Raw page bytes -> ordered list of node dicts (see module docstring).
+def scan_html_cols(raw: bytes) -> tuple:
+    """Raw page bytes -> parallel node columns
+    ``(tag_class, text, n_chars, n_link_chars, n_words)`` (node_id is the
+    list index).  The flat-column form feeds the Arrow boundary directly
+    (operators/tokenize.py builds pa arrays from these lists with no
+    per-node dict round-trip); ``tokenize_html`` wraps it back into the
+    node-dict API.
 
-    A linear regex scan over tag/text alternation with a lightweight context
-    stack; tolerant of unclosed and stray tags (pop-if-present semantics).
-    Hot path for the whole engine (~0.3 ms/doc): fragment buffering tracks
-    link lengths incrementally, entity unescape fast-paths on '&', and
-    flushes only run when the buffer is non-empty.
+    A linear ``_TAG_RE.split`` scan (r07: one C call yields the whole
+    tag/text alternation as a flat [text, closing, name, selfclose]*
+    list — measured ~2.6x cheaper than finditer + per-match
+    group/start/end calls) with a lightweight context stack; tolerant of
+    unclosed and stray tags (pop-if-present semantics).  Hot path for
+    the whole engine (~0.2 ms/doc): fragment buffering tracks link
+    lengths incrementally, entity unescape fast-paths on '&', and the
+    flush logic is inlined (it runs ~18x per doc).
     """
     text = decode_html(raw)
     if "<!--" in text:
@@ -121,7 +129,11 @@ def tokenize_html(raw: bytes) -> List[Dict]:
     if "<!" in text:
         text = _DECL_RE.sub(" ", text)
 
-    nodes: List[Dict] = []
+    c_tag: List[str] = []
+    c_txt: List[str] = []
+    c_nch: List[int] = []
+    c_nlk: List[int] = []
+    c_nwd: List[int] = []
     buf: List[str] = []          # text fragments of current block
     buf_raw_len = 0              # total chars in buf (pre-collapse)
     buf_link_len = 0             # chars contributed from inside <a>
@@ -131,42 +143,88 @@ def tokenize_html(raw: bytes) -> List[Dict]:
     block_class = "div"          # tag_class of the current block
     in_title = False
 
-    def flush() -> None:
-        nonlocal buf, buf_raw_len, buf_link_len
-        parts, raw_len, link_chars = buf, buf_raw_len, buf_link_len
-        buf, buf_raw_len, buf_link_len = [], 0, 0
-        joined = _collapse("".join(parts))
-        if not joined:
-            return
-        # scale link chars to the collapsed length so the ratio is preserved
-        # under whitespace collapse (integer floor keeps everything exact)
-        n_chars = len(joined)
-        n_link = min(n_chars, (link_chars * n_chars) // raw_len) if raw_len else 0
-        tag = boiler_stack[-1] if boiler_stack else block_class
-        nodes.append(
-            {
-                "node_id": len(nodes),
-                "tag_class": tag,
-                "text": joined,
-                "n_chars": n_chars,
-                "n_link_chars": n_link,
-                # == len(joined.split(" ")): collapsed text is non-empty
-                # with single spaces only
-                "n_words": joined.count(" ") + 1,
-            }
-        )
-
     unescape = _htmlmod.unescape
     buf_append = buf.append
     # raw tag -> (kind, lowercased name): tags repeat, so each distinct
     # spelling pays the lower()+dict classification once per document
     tag_cache: Dict[str, tuple] = {}
     tag_cache_get = tag_cache.get
-    pos = 0
-    for m in _TAG_RE.finditer(text):
-        start = m.start()
-        if start > pos and drop_depth == 0:
-            frag = text[pos:start]
+    kind_get = _KIND.get
+    # split layout is [text, (closing, name, selfclose, text)*]: consume
+    # the leading fragment, then iterate the 4-strides with zip over one
+    # shared iterator — tuple unpacking replaces index arithmetic
+    # (measured ~8% faster than a while-index loop).  Each iteration
+    # handles its TAG first, then the fragment FOLLOWING it, which is the
+    # same state ordering as the classic pos/finditer walk; the last zip
+    # tuple carries the trailing text, so no post-loop fragment handling.
+    parts = _TAG_RE.split(text)
+    pit = iter(parts)
+    frag = next(pit)
+    if frag:  # leading text before any tag (drop/a state is initial here)
+        if "&" in frag:
+            frag = unescape(frag)
+        if frag:
+            buf_append(frag)
+            buf_raw_len += len(frag)
+    for closing, rawname, selfclose, frag in zip(pit, pit, pit, pit):
+        ck = tag_cache_get(rawname)
+        if ck is None:
+            name = rawname.lower()
+            ck = tag_cache[rawname] = (kind_get(name, 0), name)
+        kind, name = ck
+        if kind:  # 0 = span/b/i/em/... — no structural effect
+            if kind == _KIND_BLOCK:
+                if buf:
+                    # inline flush: scale link chars to the collapsed length
+                    # so the ratio is preserved under whitespace collapse
+                    # (integer floor keeps everything exact)
+                    joined = " ".join("".join(buf).split())
+                    if joined:
+                        n_chars = len(joined)
+                        c_tag.append(
+                            boiler_stack[-1] if boiler_stack else block_class
+                        )
+                        c_txt.append(joined)
+                        c_nch.append(n_chars)
+                        c_nlk.append(
+                            min(n_chars, (buf_link_len * n_chars) // buf_raw_len)
+                            if buf_raw_len
+                            else 0
+                        )
+                        # == len(joined.split(" ")): collapsed text is
+                        # non-empty with single spaces only
+                        c_nwd.append(joined.count(" ") + 1)
+                    buf = []
+                    buf_append = buf.append
+                    buf_raw_len = 0
+                    buf_link_len = 0
+                if name == "title":
+                    in_title = not closing
+                if name in BOILER_TAGS:
+                    if closing:
+                        if name in boiler_stack:
+                            # pop to (and including) the matching open tag
+                            while boiler_stack and boiler_stack[-1] != name:
+                                boiler_stack.pop()
+                            if boiler_stack:
+                                boiler_stack.pop()
+                    else:
+                        boiler_stack.append(name)
+                if not closing and name not in _NEUTRAL and name not in ("br", "hr"):
+                    block_class = "title" if in_title else name
+                elif closing and name not in _NEUTRAL:
+                    block_class = "div"
+            elif kind == _KIND_DROP:
+                if closing:
+                    drop_depth = max(0, drop_depth - 1)
+                elif not selfclose:
+                    drop_depth += 1
+            else:  # _KIND_A
+                if closing:
+                    a_depth = max(0, a_depth - 1)
+                else:
+                    a_depth += 1
+        if frag and drop_depth == 0:
             if "&" in frag:
                 frag = unescape(frag)
             if frag:
@@ -174,61 +232,40 @@ def tokenize_html(raw: bytes) -> List[Dict]:
                 buf_raw_len += len(frag)
                 if a_depth > 0:
                     buf_link_len += len(frag)
-        pos = m.end()
-        # one C call for all three groups: ~99% of tags in web markup are
-        # structural (p/div/li/td/a/...), so the closing/selfclose flags
-        # are almost always consumed
-        closing, rawname, selfclose = m.group(1, 2, 3)
-        ck = tag_cache_get(rawname)
-        if ck is None:
-            name = rawname.lower()
-            ck = tag_cache[rawname] = (_KIND.get(name, 0), name)
-        kind, name = ck
-        if kind == 0:  # span/b/i/em/... — no structural effect
-            continue
-        if kind == _KIND_BLOCK:
-            if buf:
-                flush()
-                buf_append = buf.append  # flush rebinds buf
-            if name == "title":
-                in_title = not closing
-            if name in BOILER_TAGS:
-                if closing:
-                    if name in boiler_stack:
-                        # pop to (and including) the matching open tag
-                        while boiler_stack and boiler_stack[-1] != name:
-                            boiler_stack.pop()
-                        if boiler_stack:
-                            boiler_stack.pop()
-                else:
-                    boiler_stack.append(name)
-            if not closing and name not in _NEUTRAL and name not in ("br", "hr"):
-                block_class = "title" if in_title else name
-            elif closing and name not in _NEUTRAL:
-                block_class = "div"
-        elif kind == _KIND_DROP:
-            if closing:
-                drop_depth = max(0, drop_depth - 1)
-            elif not selfclose:
-                drop_depth += 1
-        else:  # _KIND_A
-            if closing:
-                a_depth = max(0, a_depth - 1)
-            else:
-                a_depth += 1
-    # trailing text after the last tag
-    if pos < len(text) and drop_depth == 0:
-        frag = text[pos:]
-        if "&" in frag:
-            frag = unescape(frag)
-        if frag:
-            buf.append(frag)
-            buf_raw_len += len(frag)
-            if a_depth > 0:
-                buf_link_len += len(frag)
     if buf:
-        flush()
-    return nodes
+        joined = " ".join("".join(buf).split())
+        if joined:
+            n_chars = len(joined)
+            c_tag.append(boiler_stack[-1] if boiler_stack else block_class)
+            c_txt.append(joined)
+            c_nch.append(n_chars)
+            c_nlk.append(
+                min(n_chars, (buf_link_len * n_chars) // buf_raw_len)
+                if buf_raw_len
+                else 0
+            )
+            c_nwd.append(joined.count(" ") + 1)
+    return c_tag, c_txt, c_nch, c_nlk, c_nwd
+
+
+def tokenize_html(raw: bytes) -> List[Dict]:
+    """Raw page bytes -> ordered list of node dicts (see module docstring).
+
+    Thin dict wrapper over ``scan_html_cols`` (the column core); output is
+    byte-identical to the historical finditer implementation (pinned by
+    tests/test_tokenizer.py and the e2e byte-identity suite)."""
+    tags, txts, nchs, nlks, nwds = scan_html_cols(raw)
+    return [
+        {
+            "node_id": i,
+            "tag_class": tags[i],
+            "text": txts[i],
+            "n_chars": nchs[i],
+            "n_link_chars": nlks[i],
+            "n_words": nwds[i],
+        }
+        for i in range(len(tags))
+    ]
 
 
 def page_title(nodes: List[Dict]) -> Optional[str]:

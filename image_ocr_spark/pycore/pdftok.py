@@ -79,6 +79,8 @@ _ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"(": b"(", b")": b")", b"\\": b"
 
 
 def _unescape_pdf_string(body: bytes) -> bytes:
+    if b"\\" not in body:  # fast path: nothing to unescape (most strings)
+        return body
     out = bytearray()
     i = 0
     while i < len(body):
@@ -157,7 +159,9 @@ def pdf_spans(raw: bytes) -> List[Dict]:
                 nonlocal cur
                 if cur:
                     text = b"".join(cur).decode("utf-8", errors="replace")
-                    text = re.sub(r"\s+", " ", text).strip()
+                    # == re.sub(r"\s+", " ", text).strip(): str.split()
+                    # splits on the same Unicode whitespace class
+                    text = " ".join(text.split())
                     if text:
                         spans.append(
                             {

@@ -61,3 +61,39 @@ def test_fused_rollup_matches_sql_rollup(spark, documents):
     sql_rows = snap(extract_pages(pages, rollup="sql"))
     fused_rows = snap(extract_pages(pages, rollup="fused"))
     assert fused_rows == sql_rows and len(fused_rows) > 0
+
+
+def test_clean_text_guard_on_control_chars(spark):
+    """r07 `_clean_collapsed` guard: documents whose node text carries a
+    non-whitespace control byte must route through the FULL clean_text
+    chain (the rlike branch), staying byte-identical to the pycore rollup
+    (fused path); clean documents take the no-op branch with the same
+    output either way."""
+    from image_ocr_spark.plans.pipeline import extract_pages
+
+    htmls = [
+        b"<p>plain seed text with enough words to be a seed block</p>",
+        "<p>ctrl\x00inside a long enough seed sentence to stay a block</p>".encode(),
+        "<p>\x07 bell and \x7f del chars in a long seed sentence here</p>".encode(),
+        "<p>edge\x1f</p><p>another long seed sentence with many words here</p>".encode(),
+        "<p>\x00 leading control then a long seed sentence with words</p>".encode(),
+    ]
+    pages = spark.createDataFrame(
+        [(f"u{i}", i, h) for i, h in enumerate(htmls)],
+        "url string, doc_id long, html binary",
+    )
+    cols = None
+
+    def snap(df):
+        nonlocal cols
+        cols = sorted(df.columns)
+        return {r["url"]: tuple(r[c] for c in cols) for r in df.collect()}
+
+    sql_rows = snap(extract_pages(pages, salt=False, rollup="sql"))
+    fused_rows = snap(extract_pages(pages, salt=False, rollup="fused"))
+    assert sql_rows == fused_rows and len(sql_rows) == len(htmls)
+    # the chain actually fired: control bytes are gone from every text
+    ti = cols.index("text")
+    texts = [v[ti] for v in sql_rows.values()]
+    assert all("\x00" not in t and "\x1f" not in t and "\x7f" not in t for t in texts)
+    assert any("ctrl" in t for t in texts)
