@@ -21,7 +21,10 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
-PLANS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r07")
+PLANS_DIR = os.environ.get(
+    "PLANS_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r07"),
+)
 PLANS_TAG = os.environ.get("PLANS_TAG", "before")
 
 
@@ -31,7 +34,7 @@ def _noop(df) -> float:
     return time.time() - t0
 
 
-def queries_main(sf_dir: str, only: list) -> None:
+def queries_main(sf_dir: str, only: list, plans_only: bool = False) -> None:
     import __spark_entry__ as entry
     from image_ocr_spark.session import get_spark
 
@@ -42,20 +45,24 @@ def queries_main(sf_dir: str, only: list) -> None:
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
     out = {}
-    # materialize the shared extraction persist first so per-query numbers
-    # measure the query, not the shared pipeline (reported separately)
-    spark.sparkContext.setJobDescription("shared: extract persist")
-    t0 = time.time()
-    entry._extracted(spark, sf_dir).count()
-    out["_shared_extract_persist"] = round(time.time() - t0, 3)
+    if not plans_only:
+        # materialize the shared extraction persist first so per-query
+        # numbers measure the query, not the shared pipeline
+        spark.sparkContext.setJobDescription("shared: extract persist")
+        t0 = time.time()
+        entry._extracted(spark, sf_dir).count()
+        out["_shared_extract_persist"] = round(time.time() - t0, 3)
     for name, fn in qs.items():
         spark.sparkContext.setJobDescription(f"query: {name}")
         try:
             df = fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
+            plan = spark._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted")
             with open(os.path.join(PLANS_DIR, f"{name}_{PLANS_TAG}.txt"), "w") as fh:
                 fh.write(plan)
+            if plans_only:
+                out[name] = "plan"
+                continue
             walls = []
             for _ in range(2):
                 walls.append(_noop(fn(spark, sf_dir)))
@@ -117,6 +124,9 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--queries":
         sf = sys.argv[2] if len(sys.argv) > 2 else SF_DIR
         queries_main(sf, sys.argv[3:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--plans":
+        sf = sys.argv[2] if len(sys.argv) > 2 else SF_DIR
+        queries_main(sf, sys.argv[3:], plans_only=True)
     elif len(sys.argv) > 1 and sys.argv[1] == "--tokenize-ab":
         tokenize_ab_main()
     else:

@@ -72,10 +72,12 @@ def repetition_columns(text: Column) -> List[Column]:
     duplicate-line fraction, and the count of the most frequent token
     2-gram — all integer milli-units, per-row, SQL-expressible.
 
-    The max-2-gram count is O(distinct_grams * n) per row via a filter scan
-    inside transform; fine for document-sized token counts (the fixture's
-    ~100 tokens), and the Arrow-twin pattern (operators/dedup.py) is the
-    escape hatch if a corpus has pathological per-doc lengths."""
+    The max-2-gram count is the longest equal-adjacent run of the SORTED
+    gram array (== max multiplicity), one array_sort + one O(n) aggregate
+    fold per row.  (r07: the previous filter-scan-inside-transform form
+    was O(distinct * n) AND re-evaluated the whole `grams` construction
+    per outer element — the HOF re-evaluation trap — measured 92 s for
+    600k docs at 16 cores vs ~2 s for this form, identical outputs.)"""
     toks = tokens(text)
     n_tokens = F.size(toks)
     dup_tok_frac = F.when(
@@ -99,14 +101,27 @@ def repetition_columns(text: Column) -> List[Column]:
             idx, lambda i: F.array_join(F.slice(toks, i, 2), " ")
         ),
     ).otherwise(F.array().cast("array<string>"))
-    max_2gram = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(grams),
-                lambda g: F.size(F.filter(grams, lambda x: x == g)),
-            )
+    # longest equal-adjacent run over the sorted grams; run==0 marks the
+    # fold's first element so no sentinel string can collide with a gram
+    def _run_step(acc: Column, g: Column) -> Column:
+        run = F.when(
+            (acc["run"] > 0) & (g == acc["prev"]), acc["run"] + F.lit(1)
+        ).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"),
+            run.cast("long").alias("run"),
+            F.greatest(acc["best"], run.cast("long")).alias("best"),
+        )
+
+    max_2gram = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
         ),
-        F.lit(0),
+        _run_step,
+        lambda acc: acc["best"],
     ).cast("long")
     return [
         dup_tok_frac.alias("dup_token_frac_milli"),

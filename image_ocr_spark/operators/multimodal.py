@@ -341,9 +341,16 @@ def _synth_media_df(
                 schema=schema,
             )
 
-    return docs.select(
-        (F.col("doc_id") + F.lit(id_offset)).alias("media_id")
-    ).mapInArrow(
+    # Spread ids across the cluster BEFORE the encode pass (r07, guide
+    # §2.5 input skew): the docs scan often yields one or few partitions
+    # (a single small parquet at fixture scale; a handful of splits per
+    # branch at any scale), which serializes the Python encoders.  The
+    # exchange moves only 8-byte ids, so salting to defaultParallelism is
+    # free and scale-adaptive (no constant tuned to local core counts);
+    # hash on media_id keeps the assignment deterministic under retries.
+    ids = docs.select((F.col("doc_id") + F.lit(id_offset)).alias("media_id"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return ids.repartition(par, F.col("media_id")).mapInArrow(
         gen,
         "media_id long, media_type string, content binary, "
         "meta_width int, meta_height int",

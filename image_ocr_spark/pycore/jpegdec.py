@@ -132,9 +132,16 @@ try:
         [[0.5 * _C[u] * _COS[x][u] for u in range(8)] for x in range(8)],
         dtype=_np.float64,
     )
+    # forward tables (r07): separable FDCT coef = _CC * (A.T @ block @ A)
+    # with A[y][r] = COS[y][r]; _ZZN indexes raster coefs in zigzag order
+    _A = _np.array(_COS, dtype=_np.float64)
+    _CC = 0.25 * _np.outer(_np.array(_C), _np.array(_C))
+    ZIGZAG_NP = _np.array(ZIGZAG, dtype=_np.int64)
 except ImportError:  # pragma: no cover - numpy is baked into the sandbox
     _np = None
     _B = None
+    _A = None
+    _CC = None
 
 
 def _canonical_codes(bits, huffval) -> Dict[int, Tuple[int, int]]:
@@ -291,7 +298,23 @@ class _BitReader:
 
 def _fdct_quant(block: List[int], qtab_raster: List[int]) -> List[int]:
     """Forward DCT + quantization of one level-shifted 8x8 raster block;
-    returns zigzag-ordered quantized coefficients."""
+    returns zigzag-ordered quantized coefficients.
+
+    numpy separable form when available (r07, ~40x: coef = 0.25 C_r C_c
+    (A.T @ block @ A)); naive exact-form loop otherwise.  For the
+    constant-block fixture domain both are bit-identical (DC row/col 0 of
+    A is exactly 1.0 so the DC sum is the same fp addition chain up to
+    reassociation of exact integers; AC terms quantize to 0 either way) —
+    pinned exhaustively over the full 768-id synth cycle in
+    tests/test_jpegdec.py."""
+    if _np is not None:
+        bm = _np.asarray(block, dtype=_np.float64).reshape(8, 8)
+        coef = (_CC * (_A.T @ bm @ _A)).reshape(64)
+        q = coef[ZIGZAG_NP] / _np.asarray(qtab_raster, dtype=_np.float64)[ZIGZAG_NP]
+        out = _np.where(
+            q >= 0, _np.floor(q + 0.5), -_np.floor(-q + 0.5)
+        ).astype(_np.int64)
+        return out.tolist()
     coef = [0.0] * 64
     for r in range(8):
         for c in range(8):
