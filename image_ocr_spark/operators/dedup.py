@@ -232,7 +232,9 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band", "key"),
-    )
+    ).hint("shuffle_hash")  # r07: self-joins below would otherwise broadcast
+    # one side and re-evaluate the signature pipeline on both (see
+    # simhash_hamming_pairs); the band-key shuffle is the scale path anyway
     if max_bucket is not None:
         # one agg on the SAME (band, key) the join shuffles on, so the
         # stats ride the shuffle the join needed anyway
@@ -342,7 +344,12 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") <= max_df)
         .select("h")
     )
-    rare_ex = exploded.join(rare, "h")  # shuffle on h (same key as the groupBy)
+    # shuffle on h (same key as the groupBy); shuffle_hash (r07) keeps the
+    # candidate self-join off the broadcast path, which evaluated the whole
+    # explode+df-filter pipeline on BOTH sides — measured 4.7-11.4 s ->
+    # 2.2-3.1 s at sf0.1/16 cores — and is the only strategy that survives
+    # when the rare-shingle relation outgrows the broadcast cap anyway
+    rare_ex = exploded.join(rare, "h").hint("shuffle_hash")
     a = rare_ex.alias("a")
     b = rare_ex.alias("b")
     cand = (
@@ -370,13 +377,20 @@ def simhash_hamming_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int = SIMHASH_CHUNKS,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share at least one of `chunks`
     fingerprint chunks (pigeonhole: hamming <= chunks-1 guarantees a shared
     chunk), verified by exact popcount distance.  With 60-bit fingerprints
     each chunk key spans 2^15 buckets, keeping per-bucket candidate counts
-    ~N/32768 at corpus scale."""
+    ~N/32768 at corpus scale.
+
+    r07: default impl is the Arrow fingerprint twin and the self-join is
+    hinted shuffle_hash — the broadcast self-join evaluated the whole
+    fingerprint pipeline on BOTH sides (no exchange to reuse) and
+    broadcasting one full side caps out at scale anyway; measured 5.75 s
+    (expr+broadcast) -> 1.2 s (arrow+shuffle_hash) for 10k sf0.1 docs at
+    16 cores, identical 5,417 output rows."""
     bits_per = SIMHASH_BITS // chunks
     if impl == "arrow":
         fp = simhash_arrow(docs, id_col, text_col)
@@ -394,7 +408,7 @@ def simhash_hamming_pairs(
     )
     chunked = fp.select(
         "id", "fp", F.posexplode(chunk_arr).alias("chunk", "ckey")
-    )
+    ).hint("shuffle_hash")
     a = chunked.alias("a")
     b = chunked.alias("b")
     cand = (
@@ -524,7 +538,10 @@ def fingerprint_match_pairs(
         .filter(F.col("df") <= max_df)
         .select("fp")
     )
-    rare_fps = fps.join(rare, "fp")
+    # shuffle_hash (r07): same rationale as ngram_jaccard_pairs — the
+    # broadcast self-join re-evaluates the fingerprint pipeline per side
+    # and cannot survive a corpus-sized fingerprint relation
+    rare_fps = fps.join(rare, "fp").hint("shuffle_hash")
     a = rare_fps.alias("a")
     b = rare_fps.alias("b")
     return (
@@ -645,11 +662,11 @@ def simhash_arrow(
     (numpy shifts over the token-hash matrix instead of 60 interpreted
     aggregate folds per row).
 
-    NOT the default: unlike minhash/winnow (where the per-element
-    expression work dominates), simhash's cost is the md5 itself, and the
-    JVM computes md5 faster than a per-token hashlib loop — measured 2.3 s
-    (expr) vs 4.4 s (arrow) for 10k docs at sf0.1.  Kept as the
-    parity-tested alternative for engines without md5 codegen."""
+    The DEFAULT since r07 (re-measured: 0.69 s arrow vs 2.16 s expr for
+    10k sf0.1 docs at 16 cores — the 60 interpreted aggregate folds per
+    row in the expression form dominate, not the md5).  A per-batch token
+    cache dedupes md5 calls (natural-language tokens repeat heavily);
+    it is cleared between batches so worker memory stays bounded."""
     import hashlib
 
     import pyarrow as pa
@@ -657,12 +674,18 @@ def simhash_arrow(
     np = _np()
     shifts = np.arange(bits, dtype=np.int64)
 
-    def fp_of(text: str) -> int:
+    def fp_of(text: str, cache: dict) -> int:
         toks = (text or "").split(" ")
-        h = np.array(
-            [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) for t in toks],
-            dtype=np.int64,
-        )
+        cg = cache.get
+        hs = []
+        for t in toks:
+            v = cg(t)
+            if v is None:
+                v = cache[t] = int(
+                    hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16
+                )
+            hs.append(v)
+        h = np.array(hs, dtype=np.int64)
         votes = (((h[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
         return int(((votes > 0).astype(np.int64) << shifts).sum())
 
@@ -670,7 +693,8 @@ def simhash_arrow(
         for batch in batches:
             ids = batch.column(0)
             texts = batch.column(1).to_pylist()
-            fps = [fp_of(t) for t in texts]
+            cache: dict = {}
+            fps = [fp_of(t, cache) for t in texts]
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(fps, pa.int64())], ["id", "fp"]
             )
