@@ -275,12 +275,18 @@ def _tokenize_packed(
     # path and was measured at ~2x the cost of the tokenizer itself.
     for batch in batches:
         names = batch.schema.names
-        urls = batch.column(names.index("url")).to_pylist()
+        # url/doc_id are 1:1 with output rows: pass the Arrow columns
+        # through zero-copy (r07) — only html crosses into Python objects
+        url_col = batch.column(names.index("url"))
+        if url_col.type != pa.string():
+            url_col = url_col.cast(pa.string())
         htmls = batch.column(names.index("html")).to_pylist()
         if "doc_id" in names:
-            doc_ids = batch.column(names.index("doc_id")).to_pylist()
+            doc_col = batch.column(names.index("doc_id"))
+            if doc_col.type != pa.int64():
+                doc_col = doc_col.cast(pa.int64())
         else:
-            doc_ids = [None] * len(urls)
+            doc_col = pa.nulls(len(htmls), pa.int64())
         engines: list = []
         offsets: list = [0]
         f_nid: list = []
@@ -313,8 +319,8 @@ def _tokenize_packed(
         nodes_arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array(urls, pa.string()),
-                pa.array(doc_ids, pa.int64()),
+                url_col,
+                doc_col,
                 pa.array(engines, pa.string()),
                 nodes_arr,
             ],

@@ -45,8 +45,8 @@ _NUM = rb"[+-]?(?:\d+\.?\d*|\.\d+)"
 # leading, Tm text matrix, Tf font size are tracked so every shown
 # string carries its page position)
 _OP_RE = re.compile(
-    rb"\((?:[^()\\]|\\.)*\)\s*Tj"                               # (..) Tj
-    rb"|\[(?:[^\]\\]|\\.)*?\]\s*TJ"                             # [..] TJ
+    rb"\((?P<tj>(?:[^()\\]|\\.)*)\)\s*Tj"                       # (..) Tj
+    rb"|(?P<tjarr>\[(?:[^\]\\]|\\.)*?\])\s*TJ"                  # [..] TJ
     rb"|(?P<tdx>" + _NUM + rb")\s+(?P<tdy>" + _NUM + rb")\s+(?P<tdop>Td|TD)"
     rb"|(?P<tl>" + _NUM + rb")\s+TL"
     rb"|/[^\s/<>\[\]()]+\s+(?P<tf>" + _NUM + rb")\s+Tf"
@@ -146,24 +146,26 @@ def pdf_spans(raw: bytes) -> List[Dict]:
     Never raises; garbage yields [].
     """
     spans: List[Dict] = []
+    spans_append = spans.append
     for page_no, stream in enumerate(_stream_bodies(raw)):
         leading = 0
         size = 12_000
         for textobj in _TEXTOBJ_RE.finditer(stream):
             x = y = 0
             cur: List[bytes] = []
+            cur_append = cur.append
             cur_xy = (0, 0)
             cur_size = size
 
             def flush() -> None:
-                nonlocal cur
+                nonlocal cur, cur_append
                 if cur:
                     text = b"".join(cur).decode("utf-8", errors="replace")
                     # == re.sub(r"\s+", " ", text).strip(): str.split()
                     # splits on the same Unicode whitespace class
                     text = " ".join(text.split())
                     if text:
-                        spans.append(
+                        spans_append(
                             {
                                 "text": text,
                                 "page": page_no,
@@ -174,31 +176,33 @@ def pdf_spans(raw: bytes) -> List[Dict]:
                             }
                         )
                     cur = []
+                    cur_append = cur.append
 
+            # branch dispatch on lastgroup (r07): the show-string content is
+            # captured by the op regex itself ('tj'), so Tj needs no second
+            # _STR_RE pass; group() calls only run on the branch taken
             for op in _OP_RE.finditer(textobj.group(0)):
-                tok = op.group(0)
-                if tok.endswith(b"Tj"):
-                    s = _STR_RE.search(tok)
-                    if s:
-                        if not cur:
-                            cur_xy, cur_size = (x, y), size
-                        cur.append(_unescape_pdf_string(s.group(0)[1:-1]))
-                elif tok.endswith(b"TJ"):
+                which = op.lastgroup
+                if which == "tj":
                     if not cur:
                         cur_xy, cur_size = (x, y), size
-                    for s in _STR_RE.finditer(tok):
-                        cur.append(_unescape_pdf_string(s.group(0)[1:-1]))
-                elif op.group("tdop") is not None:
+                    cur_append(_unescape_pdf_string(op.group("tj")))
+                elif which == "tjarr":
+                    if not cur:
+                        cur_xy, cur_size = (x, y), size
+                    for s in _STR_RE.finditer(op.group("tjarr")):
+                        cur_append(_unescape_pdf_string(s.group(0)[1:-1]))
+                elif which == "tdop":
                     flush()
                     tx, ty = _milli(op.group("tdx")), _milli(op.group("tdy"))
                     x, y = x + tx, y + ty
                     if op.group("tdop") == b"TD":
                         leading = -ty
-                elif op.group("tl") is not None:
+                elif which == "tl":
                     leading = _milli(op.group("tl"))
-                elif op.group("tf") is not None:
+                elif which == "tf":
                     size = _milli(op.group("tf"))
-                elif op.group("tm") is not None:
+                elif which == "tm":
                     flush()
                     nums = op.group("tm").split()
                     x, y = _milli(nums[4]), _milli(nums[5])
