@@ -74,6 +74,16 @@ _DIST_MAP: List[Tuple[int, int]] = [
 # ---------------------------------------------------------------------------
 
 
+def _rev_bits(code: int, length: int) -> int:
+    """Reverse the low ``length`` bits of ``code`` (prefix codes are
+    tree-walk MSB-first; the VP8L bitstream is LSB-first)."""
+    r = 0
+    for _ in range(length):
+        r = (r << 1) | (code & 1)
+        code >>= 1
+    return r
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self._acc = 0
@@ -90,9 +100,11 @@ class _BitWriter:
             self._n -= 8
 
     def write_code(self, code: int, length: int) -> None:
-        """Prefix codes are written MSB-of-code first (tree walk order)."""
-        for i in range(length - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        """Prefix codes are written MSB-of-code first (tree walk order) —
+        equivalently, ONE LSB-first write of the bit-reversed code (r07:
+        the per-bit loop dominated encode time; `write(_rev_bits(code,
+        length), length)` emits the identical stream)."""
+        self.write(_rev_bits(code, length), length)
 
     def flush(self) -> bytes:
         if self._n:
@@ -119,6 +131,22 @@ class _BitReader:
         self._acc >>= nbits
         self._n -= nbits
         return v
+
+    def peek(self, nbits: int) -> int:
+        """Next ``nbits`` without consuming, ZERO-PADDED past the end of
+        data (r07, for the LUT fast path; ``self._n`` afterwards tells the
+        caller how many of the peeked bits are real)."""
+        while self._n < nbits and self._pos < len(self._data):
+            self._acc |= self._data[self._pos] << self._n
+            self._pos += 1
+            self._n += 8
+        return self._acc & ((1 << nbits) - 1)
+
+    def consume(self, nbits: int) -> None:
+        """Drop ``nbits`` previously peeked REAL bits (caller must have
+        checked ``nbits <= self._n``)."""
+        self._acc >>= nbits
+        self._n -= nbits
 
 
 # ---------------------------------------------------------------------------
@@ -164,10 +192,35 @@ class _PrefixDecoder:
             raise ValueError("incomplete or over-subscribed prefix code")
         self.table = {(c, l): s for s, (c, l) in codes.items()}
         self.max_len = max(l for _, (c, l) in codes.items())
+        # one-level LUT over max_len peeked bits (r07): a code of length l
+        # occupies every index whose LOW l bits equal the bit-reversed
+        # code (the stream is LSB-first).  Kraft equality above guarantees
+        # full coverage.  Bounded to <=2^12 entries; deeper codes keep the
+        # exact bit-at-a-time path.
+        if self.max_len <= 12:
+            lut: List = [None] * (1 << self.max_len)
+            for s, (c, l) in codes.items():
+                base = _rev_bits(c, l)
+                ent = (s, l)
+                for high in range(1 << (self.max_len - l)):
+                    lut[base | (high << l)] = ent
+            self.lut: List | None = lut
+        else:
+            self.lut = None
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        lut = self.lut
+        if lut is not None:
+            ent = lut[br.peek(self.max_len)]
+            # ent[1] <= br._n means every matched bit is REAL (not the
+            # zero padding peek applies at end-of-data): safe to consume.
+            # Otherwise fall through to the exact path so truncation and
+            # invalid-code errors are raised identically to the r06 code.
+            if ent is not None and ent[1] <= br._n:
+                br.consume(ent[1])
+                return ent[0]
         code, length = 0, 0
         while True:
             code = (code << 1) | br.read(1)
@@ -299,17 +352,31 @@ def webp_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
     _write_prefix_code(bw, [1] + [0] * 39)
     g_codes, r_codes, b_codes, a_codes = code_specs
 
-    single_flags = [len(c) == 1 for c in code_specs]
+    # per-channel (reversed_code, length) tables so each symbol is ONE
+    # LSB-first write (r07); single-symbol codes cost zero bits and are
+    # replaced by None to skip the lookup entirely
+    rev_specs = [
+        None
+        if len(codes) == 1
+        else {v: (_rev_bits(c, l), l) for v, (c, l) in codes.items()}
+        for codes in code_specs
+    ]
+    g_rev, r_rev, b_rev, a_rev = rev_specs
+    bw_write = bw.write
     for i in range(n):
         off = i * channels
-        r, g, b = pixels[off], pixels[off + 1], pixels[off + 2]
-        a = pixels[off + 3] if channels == 4 else 255
-        for codes, single, v in zip(
-            code_specs, single_flags, (g, r, b, a)
-        ):
-            if not single:
-                code, length = codes[v]
-                bw.write_code(code, length)
+        if g_rev is not None:
+            v, l = g_rev[pixels[off + 1]]
+            bw_write(v, l)
+        if r_rev is not None:
+            v, l = r_rev[pixels[off]]
+            bw_write(v, l)
+        if b_rev is not None:
+            v, l = b_rev[pixels[off + 2]]
+            bw_write(v, l)
+        if a_rev is not None:
+            v, l = a_rev[pixels[off + 3] if channels == 4 else 255]
+            bw_write(v, l)
     payload = bw.flush()
     if len(payload) % 2:
         padded = payload + b"\x00"
