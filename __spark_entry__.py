@@ -20,7 +20,18 @@ from pyspark.sql import functions as F
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Scale-adaptive spread (r07, guide §2.5 input skew): the fixture
+    # table is one small parquet file -> one scan split, which serialized
+    # every per-row expression/Arrow stage downstream onto a single core.
+    # Repartition ONLY when the scan yields fewer splits than the
+    # cluster's parallelism — at real corpus scale the scan has thousands
+    # of splits and this is a no-op (no Exchange in the plan); the hash
+    # key is deterministic under retries.
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, F.xxhash64("doc_id"))
+    return df
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:

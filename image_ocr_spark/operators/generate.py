@@ -61,7 +61,16 @@ def generate_pages(documents: DataFrame, replicas: int = 1) -> DataFrame:
     exists so tests and benches can synthesize that table deterministically
     from the driver's documents fixture (TESTDATA.md).
     """
-    pages = documents.select("doc_id", "text", "lang").mapInPandas(
+    src = documents.select("doc_id", "text", "lang")
+    # Spread documents across the cluster BEFORE the synth pass (r07,
+    # guide §2.5 input skew): the documents scan is typically one split at
+    # fixture scale, which serialized build_page (and everything chained
+    # after it — tokenize, warc serialization — since map stages fuse)
+    # into a single task.  The exchange moves only (doc_id, text, lang);
+    # hash on doc_id keeps the assignment deterministic under retries and
+    # defaultParallelism keeps it scale-adaptive.
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    pages = src.repartition(par, F.col("doc_id")).mapInPandas(
         _gen(replicas), GEN_PAGE_SCHEMA
     )
     return pages.withColumn("warc_ts", F.timestamp_seconds("warc_ts"))
