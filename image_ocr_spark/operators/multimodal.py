@@ -201,10 +201,16 @@ def media_pixel_stats(raw: bytes):
                 vp8_available,
             )
 
-            msg = str(exc)
-            if msg.startswith("lossy WebP") and vp8_available():
+            from image_ocr_spark.pycore.webpdec import (
+                ExtendedWebPError,
+                LossyWebPError,
+            )
+
+            # typed routing (r07, ADVICE): the exception CLASS is the
+            # contract, not its message text
+            if isinstance(exc, LossyWebPError) and vp8_available():
                 w, h, ch, px = decode_rgb(raw)
-            elif msg.startswith("extended WebP") and vp8_available():
+            elif isinstance(exc, ExtendedWebPError) and vp8_available():
                 w, h, ch, px = decode_rgba(raw)
             else:
                 raise

@@ -325,11 +325,20 @@ def allocate_crawl_budget(
     total = hosts.agg(F.sum(rank_col).alias("t")).collect()[0].t or 1
     # integer `div`, never double `/`: at rank sums ~1e10 the double
     # quotient's ulp reaches the 1/total fraction grid and a truncate
-    # could disagree with exact floor-div between engines
-    share = F.expr(f"(cast({total_budget} as bigint) * {rank_col}) div {int(total)}")
+    # could disagree with exact floor-div between engines.  try_multiply
+    # (r07, ADVICE): at int64-edge rank scales a dominant host's
+    # rank * total_budget would overflow and raise under ANSI — NULL
+    # coalesces to the min_per_host floor instead, consistent with the
+    # try_add/try_multiply hardening in schedule_frontier/recrawl_due
+    share = F.expr(
+        f"try_multiply(cast({total_budget} as bigint), {rank_col}) div {int(total)}"
+    )
     return hosts.select(
         "host",
-        F.greatest(F.lit(min_per_host).cast("long"), share).alias("budget"),
+        F.greatest(
+            F.lit(min_per_host).cast("long"),
+            F.coalesce(share, F.lit(min_per_host).cast("long")),
+        ).alias("budget"),
     )
 
 

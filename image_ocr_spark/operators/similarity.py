@@ -1323,7 +1323,15 @@ def quantize_embeddings(
             q = np.clip(np.floor((V - lo) * scale), 0, 255).astype(np.uint8)
             d = q.shape[1]
             # binary array straight from the contiguous buffer (uniform
-            # offsets) — zero per-row Python on the scan-stage hot path
+            # offsets) — zero per-row Python on the scan-stage hot path.
+            # pa.binary() carries 32-bit offsets: fail loudly if a batch's
+            # packed payload would wrap them (r07, ADVICE) instead of
+            # silently emitting a corrupt column
+            if (n + 1) * d > np.iinfo(np.int32).max:
+                raise ValueError(
+                    f"quantized batch payload {(n + 1) * d} bytes overflows "
+                    "int32 binary offsets; lower arrow.maxRecordsPerBatch"
+                )
             offsets = np.arange(0, (n + 1) * d, d, dtype=np.int32)
             qvec = pa.Array.from_buffers(
                 pa.binary(), n,

@@ -141,7 +141,11 @@ def pdf_spans(raw: bytes) -> List[Dict]:
     so they reset per stream); ``a b c d e f Tm`` sets the line origin
     to (e, f); ``tx ty Td`` translates it; ``tx ty TD`` also sets
     leading = -ty; ``v TL`` sets leading; ``T*`` moves (0, -leading);
-    ``/F s Tf`` tracks the font size.  Each span carries its stream's
+    ``/F s Tf`` tracks the font size — ``size_milli`` is the size at the
+    run's FIRST show: a Tf between two shows on one line does not flush
+    the current run, so a mid-line size change keeps the run-initial
+    size (r07, ADVICE: documented contract; machine-generated fixtures
+    set Tf per line and never hit it).  Each span carries its stream's
     index as ``page`` — reading order is only defined WITHIN a page.
     Never raises; garbage yields [].
     """

@@ -41,6 +41,17 @@ from typing import Dict, List, Sequence, Tuple
 RIFF_MAGIC = b"RIFF"
 WEBP_MAGIC = b"WEBP"
 VP8L_TAG = b"VP8L"
+
+
+class LossyWebPError(ValueError):
+    """Container holds a lossy 'VP8 ' chunk — out of the from-scratch
+    VP8L scope; callers may route to the system libwebp binding (r07,
+    ADVICE: a typed contract instead of exception-message matching)."""
+
+
+class ExtendedWebPError(ValueError):
+    """Container is a VP8X extended file (may carry alpha) — same typed
+    routing contract as LossyWebPError."""
 VP8L_SIGNATURE = 0x2F
 
 MAX_PIXEL_BYTES = 64 * 1024 * 1024
@@ -472,9 +483,9 @@ def webp_decode(data: bytes) -> Tuple[int, int, int, bytes]:
             payload = body
             break
         if tag == b"VP8 ":
-            raise ValueError("lossy WebP (VP8) not supported")
+            raise LossyWebPError("lossy WebP (VP8) not supported")
         if tag == b"VP8X":
-            raise ValueError("extended WebP (VP8X) not supported")
+            raise ExtendedWebPError("extended WebP (VP8X) not supported")
         pos += 8 + size + (size & 1)
     if payload is None:
         raise ValueError("no VP8L chunk found")
