@@ -66,7 +66,13 @@ def _spans_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
 
 
 def label_spans_arrow(extracted: DataFrame, key: str = "url") -> DataFrame:
-    """(key, text) -> span rows via the shared pycore scanner."""
+    """(key, text) -> span rows via the shared pycore scanner.
+
+    THE 100 TB PATH: one linear re.finditer scan per document.  The SQL
+    twin below exists so the driver row stays JVM/oracle-expressible, but
+    its offset recovery is an interpreted `aggregate` fold calling
+    `locate` per match (CodegenFallback) — O(matches x text) on
+    match-dense documents.  Compose pipelines with THIS function."""
     return extracted.select(F.col(key).alias("url"), "text").mapInArrow(
         _spans_batches, SPAN_ROW_SCHEMA
     )

@@ -187,15 +187,21 @@ def test_spark_egress_deterministic(spark, documents):
 
 
 def test_read_warc_plan_is_scan_stage_only(spark, documents):
-    """Ingest is mapInArrow over the chunk scan: no Exchange anywhere in
-    the physical plan (the 100 TB shape: one task per segment)."""
+    """Ingest is mapInArrow over the chunk scan: read_warc adds NO
+    Exchange beyond its input's (the 100 TB shape: one task per
+    segment).  Since r07 the fixture generator itself carries one
+    id-spread Exchange (generate.py), so the assertion compares the
+    parse plan's Exchange count against the chunk input's rather than
+    demanding zero in the whole lineage."""
     from image_ocr_spark.operators.generate import generate_pages
     from image_ocr_spark.operators.warcsource import pages_to_warc, read_warc
 
     pages = generate_pages(documents.filter(F.col("doc_id") < 50))
-    df = read_warc(pages_to_warc(pages))
+    chunks = pages_to_warc(pages)
+    n_in = chunks._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    df = read_warc(chunks)
     explained = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in explained
+    assert explained.count("Exchange") == n_in
 
 
 def test_stream_warc_chunks_equals_batch(spark, documents, tmp_path):
@@ -304,9 +310,15 @@ def test_warc_extract_fused_matches_composed(spark, documents):
     pages = generate_pages(documents.filter(F.col("doc_id") < 200)).persist()
     try:
         chunks = pages_to_warc(pages, max_chunk_bytes=32 << 10)
+        n_in = (
+            chunks._jdf.queryExecution().executedPlan().toString().count("Exchange")
+        )
         fused = warc_extract(chunks)
-        assert "Exchange" not in (
-            fused._jdf.queryExecution().executedPlan().toString()
+        # the fusion itself adds no Exchange (r07: the fixture generator
+        # upstream carries one id-spread Exchange — compare, not zero)
+        assert (
+            fused._jdf.queryExecution().executedPlan().toString().count("Exchange")
+            == n_in
         )
         got = {r.url: (r.text, r.title, r.doc_type, r.engine, r.n_nodes)
                for r in fused.collect()}
